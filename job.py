@@ -1,0 +1,92 @@
+"""spark-submit entry point: pages corpus -> KG triples (+ metrics).
+
+Usage:
+    spark-submit --py-files remediner_spark.zip job.py \
+        --corpus-dir /path/with/pages.parquet --out /path/out \
+        [--gold] [--cores 32]
+
+Runs: scan -> lang filter -> HTML extraction (byte-identity checked) ->
+fused segmentation/NER/RE triple extraction -> writes triples parquet,
+prints one JSON metrics line to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--corpus-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument(
+        "--gold",
+        action="store_true",
+        help="also score triples against the pandas gold (needs "
+        "ade_annotations.parquet in --corpus-dir)",
+    )
+    args = ap.parse_args(argv)
+
+    from remediner_spark.operators.ner import (
+        GazetteerTagger,
+        extract_triples_stage,
+        with_inverse_triples,
+    )
+    from remediner_spark.operators.text import (
+        extraction_mismatch_count,
+        filter_language,
+        with_extracted_text,
+    )
+    from remediner_spark.session import get_spark
+    from remediner_spark.sources.corpus import drug_lexicon, effect_lexicon
+
+    spark = get_spark(app_name="remediner-job", cores=args.cores)
+    t0 = time.time()
+    pages = spark.read.parquet(f"{args.corpus_dir}/pages.parquet")
+    english = filter_language(pages)
+    mismatches = extraction_mismatch_count(english)
+    extracted = (
+        with_extracted_text(english)
+        .drop("text")
+        .withColumnRenamed("extracted_text", "text")
+    )
+    tagger_bc = spark.sparkContext.broadcast(
+        GazetteerTagger(drug_lexicon(), effect_lexicon())
+    )
+    triples = with_inverse_triples(extract_triples_stage(extracted, tagger_bc))
+    triples.write.mode("overwrite").partitionBy("pred").parquet(
+        f"{args.out}/triples"
+    )
+    n_triples = spark.read.parquet(f"{args.out}/triples").count()
+    elapsed = time.time() - t0
+
+    metrics = {
+        "n_pages": pages.count(),
+        "extraction_mismatches": mismatches,
+        "n_triples": n_triples,
+        "elapsed_sec": round(elapsed, 2),
+        "triples_per_sec": round(n_triples / elapsed, 1),
+    }
+    if args.gold:
+        import pandas as pd
+
+        from remediner_spark.gold import gold_triples
+        from remediner_spark.metrics import triple_precision_recall
+
+        ann = pd.read_parquet(f"{args.corpus_dir}/ade_annotations.parquet")
+        gold = spark.createDataFrame(gold_triples(ann))
+        causes = spark.read.parquet(f"{args.out}/triples").filter(
+            "pred = 'CAUSES'"
+        )
+        metrics.update(triple_precision_recall(causes, gold))
+    print(json.dumps(metrics))
+    spark.stop()
+    return 0 if mismatches == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,192 @@
+"""NER tagging stage + fused triple extraction.
+
+The tagger is pluggable behind `TaggerModel.tag_words`:
+
+* `GazetteerTagger` — deterministic lexicon tagger, the test-mode model
+  (SURVEY.md M1): reproduces the reference's gold span semantics
+  exactly, so pipeline triples can be scored against the pandas gold.
+* `BertTagger` — broadcast-weights BERT token classifier
+  (operators/bert_stub.py); requires torch/transformers at runtime and
+  raises ImportError here otherwise (libs absent in this sandbox).
+
+`extract_triples_stage` is the fused hot path: ONE mapInPandas stage
+runs segmentation -> normalization -> NER -> reconstruction (M3) -> RE
+pairing (M6) per Arrow batch — a single JVM<->Python round-trip per
+partition chunk, per SURVEY.md §4.3 (UDF pipelining). Model/lexicon
+state ships once per executor via SparkContext.broadcast, with a
+per-process singleton cache.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..gold import pair_mentions_positional
+from ..kernels import webtext
+from ..kernels.normalize import normalize_series
+from ..kernels.reconstruct import mentions_from_word_iob
+
+TRIPLE_SCHEMA = (
+    "url string, warc_ts timestamp, sent_idx int, "
+    "subj string, pred string, obj string"
+)
+
+SENTENCE_TAG_SCHEMA = (
+    "url string, sent_idx int, sentence string, words array<string>, "
+    "iob array<string>, masked_text string"
+)
+
+
+class GazetteerTagger:
+    """Greedy longest-match phrase tagger over broadcast lexicons.
+
+    Matching is case-insensitive on whitespace words of the normalized
+    sentence; emits word-aligned IOB (B-Drug/I-Drug/B-Effect/I-Effect/O,
+    the reference's 5-label scheme,
+    /root/reference/src/NER/data_utilities_ner.py:78-82).
+    """
+
+    def __init__(self, drug_terms: Iterable[str], effect_terms: Iterable[str]):
+        self._index: dict[str, list[tuple[tuple[str, ...], str]]] = {}
+        for etype, terms in (("Drug", drug_terms), ("Effect", effect_terms)):
+            for term in terms:
+                words = tuple(term.lower().split())
+                if not words:
+                    continue
+                self._index.setdefault(words[0], []).append((words, etype))
+        for first in self._index:
+            self._index[first].sort(key=lambda x: -len(x[0]))
+
+    def tag_words(self, words: list[str]) -> list[str]:
+        lowered = [w.lower() for w in words]
+        n = len(words)
+        tags = ["O"] * n
+        i = 0
+        while i < n:
+            matched = False
+            for phrase, etype in self._index.get(lowered[i], ()):
+                k = len(phrase)
+                if i + k <= n and tuple(lowered[i : i + k]) == phrase:
+                    tags[i] = f"B-{etype}"
+                    for j in range(i + 1, i + k):
+                        tags[j] = f"I-{etype}"
+                    i += k
+                    matched = True
+                    break
+            if not matched:
+                i += 1
+        return tags
+
+
+def _sentences_from_pages(pdf: pd.DataFrame, text_col: str) -> pd.DataFrame:
+    """Pandas-side segmentation + explode for one Arrow batch."""
+    sents = webtext.split_sentences(pdf[text_col])
+    lens = sents.str.len().fillna(0).astype(int)
+    out = pd.DataFrame(
+        {
+            "url": pdf["url"].repeat(lens).to_numpy(),
+            "warc_ts": pdf["warc_ts"].repeat(lens).to_numpy()
+            if "warc_ts" in pdf
+            else None,
+            "sentence": [s for lst in sents for s in lst],
+        }
+    )
+    out["sent_idx"] = [i for lst in sents for i in range(len(lst))]
+    return out
+
+
+def extract_triples_stage(
+    pages: DataFrame,
+    tagger_bc,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fused pages -> triples mapInPandas stage (CAUSES direction).
+
+    `tagger_bc` is a SparkContext.broadcast of a TaggerModel. Output:
+    (url, warc_ts, sent_idx, subj, pred, obj), one row per extracted
+    relation; subjects/objects are lowercase mention surfaces, matching
+    the reference's lowercased entity convention
+    (/root/reference/src/data_utilities.py:100-101).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tagger = tagger_bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sent = _sentences_from_pages(pdf, text_col)
+            if len(sent) == 0:
+                continue
+            sent["norm"] = normalize_series(sent["sentence"])
+            rows = []
+            for url, ts, sent_idx, norm in zip(
+                sent["url"].to_numpy(),
+                sent["warc_ts"].to_numpy(),
+                sent["sent_idx"].to_numpy(),
+                sent["norm"].to_numpy(),
+            ):
+                words = norm.split()
+                if not words:
+                    continue
+                tags = tagger.tag_words(words)
+                _, mentions = mentions_from_word_iob(words, tags)
+                for s, p, o in pair_mentions_positional(mentions):
+                    rows.append((url, ts, int(sent_idx), s, p, o))
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "warc_ts", "sent_idx", "subj", "pred", "obj"],
+            )
+
+    return pages.mapInPandas(fn, TRIPLE_SCHEMA)
+
+
+def tag_sentences_stage(
+    sentences: DataFrame, tagger_bc, sentence_col: str = "sentence"
+) -> DataFrame:
+    """Unfused NER stage for inspection/eval: sentence rows ->
+    (words, iob, masked_text). Used by token-level metrics (M10)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tagger = tagger_bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            norm = normalize_series(pdf[sentence_col])
+            words_col, iob_col, masked_col = [], [], []
+            for text in norm.to_numpy():
+                words = text.split()
+                tags = tagger.tag_words(words)
+                masked, _ = mentions_from_word_iob(words, tags)
+                words_col.append(words)
+                iob_col.append(tags)
+                masked_col.append(masked)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "sent_idx": pdf["sent_idx"],
+                    "sentence": norm,
+                    "words": words_col,
+                    "iob": iob_col,
+                    "masked_text": masked_col,
+                }
+            )
+
+    return sentences.mapInPandas(fn, SENTENCE_TAG_SCHEMA)
+
+
+def with_inverse_triples(triples: DataFrame) -> DataFrame:
+    """CAUSES triples + (effect, TREATED_WITH, drug) inverse view —
+    relational, no Python hop (BASELINE.json:6)."""
+    inverse = triples.select(
+        "url",
+        "warc_ts",
+        "sent_idx",
+        F.col("obj").alias("subj"),
+        F.lit("TREATED_WITH").alias("pred"),
+        F.col("subj").alias("obj"),
+    )
+    return triples.unionByName(inverse)

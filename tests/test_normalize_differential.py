@@ -1,0 +1,54 @@
+"""Differential property test: kernels.normalize vs a literal
+transcription of the reference chain
+(/root/reference/src/data_utilities.py:60-89), byte-for-byte on
+arbitrary text."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from remediner_spark.kernels.normalize import normalize_series
+
+_REF_PATTERN = (
+    r"('s\b)|(?!(?:\b\w+\b|\d+(?:\.\d+)?|[a-zA-Z]=\d+(?:\.\d+)?))"
+    r"([^\w\s\'.=]|(?<!\d)\.(?!\d))"
+)
+
+
+def reference_chain(values: list[str]) -> list[str]:
+    data = pd.Series(values, dtype=object)
+    data = data.str.strip()
+    data = data.str.replace(_REF_PATTERN, " ", regex=True)
+    data = data.str.replace("'", "", regex=True)
+    data = data.str.replace(r"\.\s*$", "", regex=True)
+    data = data.str.replace(r"\s+", " ", regex=True)
+    data = data.str.replace(r"(\b\w)\s*=\s*", r"\1=", regex=True)
+    return data.tolist()
+
+
+text_strategy = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "S", "Zs")
+    ),
+    max_size=80,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(text_strategy, min_size=1, max_size=5))
+def test_normalize_matches_reference_chain(values):
+    assert normalize_series(pd.Series(values, dtype=object)).tolist() == (
+        reference_chain(values)
+    )
+
+
+def test_medical_style_sentences():
+    cases = [
+        "A 63 year old patient developed nauseola after taking dorvax.",
+        "nauseola was observed (z = 2.27) after dorvax infusion!",
+        "High-dose dorvax therapy, started in March, led to nauseola.",
+        "the patient's dorvax-induced nauseola; severity 3.5.",
+    ]
+    assert normalize_series(pd.Series(cases)).tolist() == reference_chain(cases)
