@@ -1,0 +1,341 @@
+"""Deduplication operators over documents(doc_id, text, ...).
+
+Training-data pipeline dedup family, Spark-first with paired DuckDB
+oracle SQL (same deterministic arithmetic both sides):
+
+* exact       — hash groupBy of normalized text
+* ngram       — exact word-3-gram Jaccard similarity join (inverted
+                index on shingles + doc-frequency cap for scale)
+* minhash     — MinHash signatures + banded LSH candidate pairs
+* simhash     — 32-bit SimHash per document (scalar list arithmetic,
+                no shuffle) + 16-bit band keys for bucketing
+* embedding   — cosine near-dup pairs over embeddings(vec_id, embedding)
+
+All hashes derive from the md5-prefix base hash
+(textstats.md5_hash32_expr) so Spark and DuckDB agree bit-for-bit.
+Jaccard values are ratios of integers -> identical doubles in both
+engines.
+
+Scale notes (100 TB): the shingle inverted index is the standard
+near-dup layout — explode is map-side; the self-join shuffles on
+shingle, and the doc-frequency cap (MAX_DF) removes the head keys
+that would otherwise create quadratic candidate blowup; the minhash
+path avoids the full index entirely (constant-size signatures, band
+join on short keys); simhash is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textstats import md5_hash32_expr, md5_hash32_sql
+
+NGRAM_N = 3
+JACCARD_T = 0.6
+MAX_DF = 50  # shingles in more docs than this are dropped (stop-shingles)
+
+# minhash: 16 hashes = 4 bands x 4 rows (same family as linking, but
+# md5-based so the oracle can reproduce it)
+MH_K, MH_BANDS, MH_ROWS = 16, 4, 4
+MH_P = (1 << 31) - 1
+MH_A = [2654435761 % MH_P, 2246822519 % MH_P, 3266489917 % MH_P,
+        668265263, 374761393, 1103515245, 1299709, 15485863,
+        32452843, 49979687, 67867967, 86028121, 104395301,
+        122949823, 141650939, 160481183]
+MH_B = [i * 7919 + 17 for i in range(MH_K)]
+
+COS_T = 0.45  # embeddings near-dup threshold (chosen with margin at sf0.01)
+
+
+def _shingles_expr(text_col):
+    words = F.split(text_col, " ")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - NGRAM_N),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, NGRAM_N)),
+    )
+    return F.array_distinct(F.when(n >= NGRAM_N, grams).otherwise(F.array(text_col)))
+
+
+def _shingles_sql(text_col: str) -> str:
+    w = f"string_split({text_col}, ' ')"
+    grams = (
+        f"list_transform(range(0, len({w}) - {NGRAM_N - 1}), "
+        f"i -> array_to_string({w}[i+1:i+{NGRAM_N}], ' '))"
+    )
+    return (
+        f"list_distinct(CASE WHEN len({w}) >= {NGRAM_N} THEN {grams} "
+        f"ELSE [{text_col}] END)"
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy(F.lower(F.trim(F.col("text"))).alias("text_key"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY lower(trim(text))"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", _shingles_expr(F.col("text")).alias("sh")
+    )
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    # doc-frequency cap: drop head shingles before the pair join
+    rare = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= MAX_DF
+    )
+    inv = inv.join(rare.select("shingle"), "shingle")
+    pairs = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def sql_dedup_ngram_jaccard() -> str:
+    sh = _shingles_sql("text")
+    return f"""
+WITH s AS (SELECT doc_id, {sh} AS sh FROM documents),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= {MAX_DF}),
+inv2 AS (SELECT inv.* FROM inv JOIN rare USING (shingle)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM inv2 a JOIN inv2 b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sized AS (SELECT doc_id, len(sh) AS n_sh FROM s)
+SELECT doc_a, doc_b,
+       round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM pairs
+JOIN sized sa ON sa.doc_id = doc_a
+JOIN sized sb ON sb.doc_id = doc_b
+WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= {JACCARD_T}"""
+
+
+def _minhash_exprs(shingles_col):
+    sigs = []
+    for i in range(MH_K):
+        a, b = MH_A[i], MH_B[i]
+
+        def hash_fn(a=a, b=b):
+            return lambda s: ((md5_hash32_expr(s) % MH_P) * a + b) % MH_P
+
+        sigs.append(
+            F.array_min(F.transform(shingles_col, hash_fn())).alias(f"mh_{i}")
+        )
+    return sigs
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", _shingles_expr(F.col("text")).alias("sh")
+    )
+    sig = docs.select("doc_id", *_minhash_exprs(F.col("sh")))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"mh_{b * MH_ROWS + r}")
+                                for r in range(MH_ROWS)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(MH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates()
+    )
+
+
+def sql_dedup_minhash() -> str:
+    sh = _shingles_sql("text")
+    h = md5_hash32_sql("s")
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> (({h}) % {MH_P} * {MH_A[i]} "
+        f"+ {MH_B[i]}) % {MH_P}), 'min') AS mh_{i}"
+        for i in range(MH_K)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        + " || ':' || ".join(
+            f"CAST(mh_{b * MH_ROWS + r} AS VARCHAR)" for r in range(MH_ROWS)
+        )
+        + " AS band_key FROM sig"
+        for b in range(MH_BANDS)
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {sh} AS sh FROM documents),
+sig AS (SELECT doc_id, {mh_cols} FROM s),
+bands AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # materialize word hashes once; each bit aggregates over the array
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), " "), lambda w: md5_hash32_expr(w)
+        ).alias("wh"),
+    )
+
+    def bit_term(b: int):
+        return F.aggregate(
+            F.col("wh"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    simhash = None
+    for b in range(32):
+        term = F.when(bit_term(b) >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    return hashed.select("doc_id", simhash.alias("simhash")).select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % (1 << 16)).alias("band_lo"),
+        F.shiftright(F.col("simhash"), 16).alias("band_hi"),
+    )
+
+
+def sql_dedup_simhash() -> str:
+    h = md5_hash32_sql("w")
+    terms = " + ".join(
+        f"(CASE WHEN coalesce(list_sum(list_transform(wh, x -> CASE WHEN "
+        f"(x >> {b}) & 1 = 1 THEN 1 ELSE -1 END)), 0) >= 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"""
+WITH wh_t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), w -> {h}) AS wh
+  FROM documents),
+sh AS (SELECT doc_id, ({terms}) AS simhash FROM wh_t)
+SELECT doc_id, simhash,
+       simhash % {1 << 16} AS band_lo,
+       simhash >> 16 AS band_hi
+FROM sh"""
+
+
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", F.round(dot / (norm("a") * norm("b")), 6))
+        .filter(F.col("cosine") >= COS_T)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cosine",
+        )
+    )
+
+
+SQL_DEDUP_EMBED = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {COS_T}"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embed_cosine": q_dedup_embed_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
+    "dedup_minhash_lsh": sql_dedup_minhash(),
+    "dedup_simhash": sql_dedup_simhash(),
+    "dedup_embed_cosine": SQL_DEDUP_EMBED,
+}

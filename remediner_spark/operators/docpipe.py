@@ -1,0 +1,192 @@
+"""KG pipeline semantics exercised on the driver's `documents` table.
+
+The medical corpus fixtures can't be registered as DuckDB oracle views,
+so these queries re-run the *same engine code paths* (GazetteerTagger
+-> mentions_from_word_iob -> pair_mentions_positional, i.e. M1 -> M3 ->
+M6) over `documents` with an OLAP-domain lexicon, paired with oracle
+SQL expressing the identical semantics relationally. This gives the
+pandas-UDF inference stage a true differential check against SQL.
+
+Lexicon words are single tokens present in the synthetic documents
+vocabulary, so first-occurrence rank pairing is exactly
+`list_position`-rank pairing in SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..gold import pair_mentions_positional
+from ..kernels.reconstruct import mentions_from_word_iob
+from .ner import GazetteerTagger
+
+DOC_DRUGS = ["spark", "customer", "vector", "window"]
+DOC_EFFECTS = ["slow", "fast", "big", "small"]
+
+
+def _tagger() -> GazetteerTagger:
+    return GazetteerTagger(DOC_DRUGS, DOC_EFFECTS)
+
+
+def q_m1_gazetteer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 (NER stage, deterministic model): per-document mention counts
+    via the tagging UDF (ref model surface:
+    src/FINALMODEL/final_model.py:20-24)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tagger = _tagger()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_drug, n_effect = [], []
+            for text in pdf["text"]:
+                tags = tagger.tag_words(text.split(" "))
+                n_drug.append(sum(t == "B-Drug" for t in tags))
+                n_effect.append(sum(t == "B-Effect" for t in tags))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_drug": pd.array(n_drug, dtype="int64"),
+                    "n_effect": pd.array(n_effect, dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(fn, "doc_id long, n_drug long, n_effect long")
+
+
+def _sql_in_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+SQL_M1 = f"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '),
+                       w -> w IN ({_sql_in_list(DOC_DRUGS)}))) AS n_drug,
+       len(list_filter(string_split(text, ' '),
+                       w -> w IN ({_sql_in_list(DOC_EFFECTS)}))) AS n_effect
+FROM documents"""
+
+
+def q_m6_triples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 (triple assembly): the full M1->M3->M6 kernel chain per doc —
+    k-th first-seen drug pairs with k-th first-seen effect (ref pairing
+    semantics: src/RE/data_utilities_re.py:24-40)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tagger = _tagger()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.split(" ")
+                tags = tagger.tag_words(words)
+                _, mentions = mentions_from_word_iob(words, tags)
+                for s, p, o in pair_mentions_positional(mentions):
+                    rows.append((doc_id, s, p, o))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "subj", "pred", "obj"]
+            )
+
+    return docs.mapInPandas(fn, "doc_id long, subj string, pred string, obj string")
+
+
+def _sql_mention_ranks() -> str:
+    """CTEs computing per-doc mention ranks with the M3 run-merge
+    semantics: consecutive same-class lexicon words merge into ONE
+    mention (the reference's de_append latch,
+    /root/reference/src/FINALMODEL/final_model.py:102-106), surfaces
+    dedupe keeping first occurrence, rank by first position."""
+    d_list = _sql_in_list(DOC_DRUGS)
+    e_list = _sql_in_list(DOC_EFFECTS)
+    return f"""
+w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+flags AS (
+  SELECT doc_id, pos, word,
+         word IN ({d_list}) AS is_d,
+         word IN ({e_list}) AS is_e
+  FROM w),
+marked AS (
+  SELECT doc_id, pos, word, is_d, is_e,
+         CASE WHEN is_d AND NOT coalesce(
+             lag(is_d) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+           THEN 1 ELSE 0 END AS d_start,
+         CASE WHEN is_e AND NOT coalesce(
+             lag(is_e) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+           THEN 1 ELSE 0 END AS e_start
+  FROM flags),
+runs AS (
+  SELECT doc_id, pos, word, is_d, is_e,
+         sum(d_start) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS d_run,
+         sum(e_start) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS e_run
+  FROM marked),
+d_surf AS (
+  SELECT doc_id, d_run, string_agg(word, ' ' ORDER BY pos) AS surface,
+         min(pos) AS first_pos
+  FROM runs WHERE is_d GROUP BY doc_id, d_run),
+e_surf AS (
+  SELECT doc_id, e_run, string_agg(word, ' ' ORDER BY pos) AS surface,
+         min(pos) AS first_pos
+  FROM runs WHERE is_e GROUP BY doc_id, e_run),
+d_rank AS (
+  SELECT doc_id, surface,
+         row_number() OVER (PARTITION BY doc_id ORDER BY fp) AS rnk
+  FROM (SELECT doc_id, surface, min(first_pos) AS fp
+        FROM d_surf GROUP BY doc_id, surface)),
+e_rank AS (
+  SELECT doc_id, surface,
+         row_number() OVER (PARTITION BY doc_id ORDER BY fp) AS rnk
+  FROM (SELECT doc_id, surface, min(first_pos) AS fp
+        FROM e_surf GROUP BY doc_id, surface))"""
+
+
+SQL_M6 = f"""
+WITH {_sql_mention_ranks()}
+SELECT d_rank.doc_id, d_rank.surface AS subj, 'CAUSES' AS pred,
+       e_rank.surface AS obj
+FROM d_rank JOIN e_rank
+  ON d_rank.doc_id = e_rank.doc_id AND d_rank.rnk = e_rank.rnk"""
+
+
+def q_m9_edges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 (canonicalized edge agg) over the M6 triples: salted
+    two-phase groupBy (skew-safe; see operators/graph.py)."""
+    triples = q_m6_triples_docs(spark, sf_dir)
+    partial = triples.withColumn(
+        "_salt", F.pmod(F.col("doc_id"), F.lit(8))
+    ).groupBy("subj", "obj", "_salt").agg(F.count(F.lit(1)).alias("_w"))
+    return partial.groupBy("subj", "obj").agg(F.sum("_w").alias("weight"))
+
+
+SQL_M9 = f"""
+WITH {_sql_mention_ranks()},
+triples AS (
+  SELECT d_rank.doc_id, d_rank.surface AS subj, e_rank.surface AS obj
+  FROM d_rank JOIN e_rank
+    ON d_rank.doc_id = e_rank.doc_id AND d_rank.rnk = e_rank.rnk)
+SELECT subj, obj, count(*) AS weight FROM triples GROUP BY subj, obj"""
+
+
+QUERIES = {
+    "m1_gazetteer_ner": q_m1_gazetteer_counts,
+    "m6_triple_assembly": q_m6_triples_docs,
+    "m9_edge_agg_salted": q_m9_edges_docs,
+}
+
+ORACLES = {
+    "m1_gazetteer_ner": SQL_M1,
+    "m6_triple_assembly": SQL_M6,
+    "m9_edge_agg_salted": SQL_M9,
+}

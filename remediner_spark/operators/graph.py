@@ -1,0 +1,142 @@
+"""Graph materialization (M9): canonicalized node/edge tables.
+
+Head entities (common drugs, Zipf-skewed by construction in the
+corpus) make the final groupBy hot-keyed. count/sum aggregations get
+map-side partial aggregation from Spark automatically, but
+``collect_set`` (sample URLs) does not reduce skew — one reducer still
+receives every instance of the head key. Per the north rule
+(BASELINE.json:14, "skew handled explicitly") the aggregations here run
+**salted two-phase**: stage 1 groups on (key, salt) with bounded
+partial sets, stage 2 merges the S partials per key. Equality with the
+unsalted plan is asserted in tests.
+
+Output schemas (FIXTURES.md §4):
+    nodes(entity_id, canonical_name, entity_type, n_mentions)
+    edges(subj_id, pred, obj_id, weight, first_seen, sample_urls)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT_BUCKETS = 16
+SAMPLE_URLS = 5
+
+
+def _salt(buckets: int):
+    # deterministic salt from lineage key (url) so retries are stable
+    return F.pmod(F.crc32(F.col("url")), F.lit(buckets)).alias("_salt")
+
+
+def build_nodes(
+    linked_mentions: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS
+) -> DataFrame:
+    """linked mentions -> nodes, salted two-phase count.
+
+    Unlinked mentions (no canonical_id) get a stable negative synthetic
+    id from their normalized surface so the graph stays connected.
+    """
+    m = linked_mentions.withColumn(
+        "entity_id",
+        F.coalesce(
+            F.col("canonical_id"),
+            (-F.abs(F.xxhash64(F.col("surface_norm"), F.col("entity_type")))).cast(
+                "long"
+            ),
+        ),
+    ).withColumn(
+        "node_name", F.coalesce(F.col("canonical_name"), F.col("surface_norm"))
+    )
+    partial = m.withColumn("_salt", _salt(salt_buckets)).groupBy(
+        "entity_id", "_salt"
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.first("node_name").alias("_name"),
+        F.first("entity_type").alias("_type"),
+    )
+    return partial.groupBy("entity_id").agg(
+        F.first("_name").alias("canonical_name"),
+        F.first("_type").alias("entity_type"),
+        F.sum("_n").alias("n_mentions"),
+    )
+
+
+def build_edges(
+    linked_triples: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS
+) -> DataFrame:
+    """linked triples (subj_id, pred, obj_id, url, warc_ts) -> edges.
+
+    Salted two-phase: per-(edge, salt) partials keep collect_set bounded
+    (slice to SAMPLE_URLS before the merge), then a cheap second agg
+    over at most `salt_buckets` rows per edge.
+    """
+    partial = (
+        linked_triples.withColumn("_salt", _salt(salt_buckets))
+        .groupBy("subj_id", "pred", "obj_id", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_w"),
+            F.min("warc_ts").alias("_first"),
+            F.slice(F.collect_set("url"), 1, SAMPLE_URLS).alias("_urls"),
+        )
+    )
+    return partial.groupBy("subj_id", "pred", "obj_id").agg(
+        F.sum("_w").alias("weight"),
+        F.min("_first").alias("first_seen"),
+        F.slice(
+            F.array_distinct(F.flatten(F.collect_list("_urls"))), 1, SAMPLE_URLS
+        ).alias("sample_urls"),
+    )
+
+
+def build_edges_unsalted(linked_triples: DataFrame) -> DataFrame:
+    """Single-phase variant for the salted==unsalted equivalence test."""
+    return linked_triples.groupBy("subj_id", "pred", "obj_id").agg(
+        F.count(F.lit(1)).alias("weight"),
+        F.min("warc_ts").alias("first_seen"),
+    )
+
+
+def link_triples(triples: DataFrame, linked_mentions: DataFrame) -> DataFrame:
+    """Attach canonical subj_id/obj_id to CAUSES triples via the linked
+    mention table (broadcast surface->id maps: vocabulary-sized)."""
+    surf_map = (
+        linked_mentions.withColumn(
+            "entity_id",
+            F.coalesce(
+                F.col("canonical_id"),
+                (
+                    -F.abs(F.xxhash64(F.col("surface_norm"), F.col("entity_type")))
+                ).cast("long"),
+            ),
+        )
+        .select("surface_norm", "entity_type", "entity_id")
+        .dropDuplicates(["surface_norm", "entity_type"])
+    )
+    drugs = surf_map.filter(F.col("entity_type") == "DRUG").select(
+        F.col("surface_norm").alias("subj"), F.col("entity_id").alias("subj_id")
+    )
+    effects = surf_map.filter(F.col("entity_type") == "EFFECT").select(
+        F.col("surface_norm").alias("obj"), F.col("entity_id").alias("obj_id")
+    )
+    return (
+        triples.filter(F.col("pred") == "CAUSES")
+        .join(F.broadcast(drugs), "subj", "left")
+        .join(F.broadcast(effects), "obj", "left")
+    )
+
+
+def build_graph(
+    triples: DataFrame,
+    dictionary: DataFrame,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """Full M7->M9 path: triples + dictionary -> (nodes, edges)."""
+    from .linking import link_mentions, mentions_from_triples
+
+    mentions = mentions_from_triples(triples)
+    linked = link_mentions(mentions, dictionary)
+    nodes = build_nodes(linked, salt_buckets)
+    with_ids = link_triples(triples, linked)
+    edges = build_edges(with_ids, salt_buckets)
+    return nodes, edges

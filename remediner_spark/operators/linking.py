@@ -1,0 +1,218 @@
+"""Entity linking: broadcast dictionary join + MinHash-LSH residual.
+
+M7 (SURVEY.md §2.4): mentions join a broadcast canonical dictionary on
+normalized surface form — a map-side hash join, no shuffle of the big
+side.
+
+M8: surfaces the dictionary misses (typos, variants) go through a
+MinHash-LSH similarity join against the dictionary aliases:
+
+    char-3-shingles -> K seeded min-hashes -> B bands of R rows ->
+    band-key equi-join -> exact Jaccard verify -> best alias per surface
+
+Everything is built-in Catalyst expressions (crc32/transform/array_min/
+array_intersect) — whole-stage-codegen friendly, zero Python workers.
+The band join is an equi-join on (band_idx, band_key), so Spark
+shuffles only the tiny residual set and the dictionary, never the
+corpus. At 100 TB the residual is bounded by distinct unresolved
+surfaces (vocabulary-sized, not corpus-sized) because linking runs on
+`distinct(surface)`, not on mention instances.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# LSH parameters: K = B * R minhashes. With R=4, B=8: pairs with
+# Jaccard s collide with prob 1-(1-s^4)^8 (~0.97 at s=0.7, ~0.19 at
+# s=0.3) — tuned for typo-distance aliases.
+_MERSENNE = (1 << 31) - 1
+_HASH_A = [2654435761, 2246822519, 3266489917, 668265263, 374761393,
+           2654435789, 2246822591, 3266489989, 668265341, 374761471,
+           2654435843, 2246822647, 3266490043, 668265399, 374761523,
+           2654435887, 2246822699, 3266490107, 668265463, 374761561,
+           2654435921, 2246822741, 3266490169, 668265529, 374761627,
+           2654435959, 2246822801, 3266490217, 668265587, 374761673,
+           2654436037, 2246822861]
+_HASH_B = [b * 7919 + 17 for b in range(len(_HASH_A))]
+
+
+def normalized_surface(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(c))
+
+
+def char_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of a padded surface, as array<string>."""
+    padded = F.concat(F.lit("^"), col, F.lit("$"))
+    idx = F.sequence(F.lit(0), F.greatest(F.length(padded) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: padded.substr(i + 1, F.lit(n)))
+    )
+
+
+def minhash_signature(shingles: Column, k: int) -> list[Column]:
+    """k min-hash values over the shingle set (crc32-based LCG family)."""
+    def hash_fn(a: int, b: int):
+        # reduce crc mod p before multiplying: keeps a*x < 2^63 (ANSI
+        # mode makes long overflow a hard error in Spark 4)
+        return lambda s: (
+            (F.crc32(F.encode(s, "utf-8")) % _MERSENNE) * a + b
+        ) % _MERSENNE
+
+    sigs = []
+    for i in range(k):
+        sigs.append(
+            F.array_min(
+                F.transform(shingles, hash_fn(_HASH_A[i], _HASH_B[i]))
+            ).alias(f"mh_{i}")
+        )
+    return sigs
+
+
+def band_keys(df: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Add (band_idx, band_key) rows: one output row per band — an
+    explode over a tiny literal array, keeping the join equi-join."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    ":", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return df.select(
+        *[c for c in df.columns if not c.startswith("mh_")],
+        F.explode(band_structs).alias("band"),
+    ).select("*", "band.band_idx", "band.band_key").drop("band")
+
+
+def _with_signature(df: DataFrame, surface_col: str, k: int) -> DataFrame:
+    sh = char_shingles(F.col(surface_col))
+    return df.withColumn("shingles", sh).select(
+        "*", *minhash_signature(F.col("shingles"), k)
+    )
+
+
+def link_mentions(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    jaccard_threshold: float = 0.5,
+    bands: int = 8,
+    rows: int = 4,
+) -> DataFrame:
+    """mentions(surface, entity_type, ...) -> + (canonical_id,
+    canonical_name, link_method in {dict, lsh, unlinked}).
+
+    dictionary: (alias, canonical_id, canonical_name, entity_type),
+    assumed dimension-sized -> broadcast.
+    """
+    k = bands * rows
+    m = mentions.withColumn("surface_norm", normalized_surface("surface"))
+    d = dictionary.withColumn("alias_norm", normalized_surface("alias"))
+
+    exact = m.alias("m").join(
+        F.broadcast(d.alias("d")),
+        (F.col("m.surface_norm") == F.col("d.alias_norm"))
+        & (F.col("m.entity_type") == F.col("d.entity_type")),
+        "left",
+    ).select(
+        "m.*",
+        F.col("d.canonical_id").alias("canonical_id"),
+        F.col("d.canonical_name").alias("canonical_name"),
+    )
+
+    resolved = exact.filter(F.col("canonical_id").isNotNull()).withColumn(
+        "link_method", F.lit("dict")
+    )
+    residual = exact.filter(F.col("canonical_id").isNull()).drop(
+        "canonical_id", "canonical_name"
+    )
+
+    # LSH over DISTINCT unresolved surfaces only (vocabulary-sized)
+    res_surfaces = residual.select("surface_norm", "entity_type").dropDuplicates()
+    res_sig = band_keys(
+        _with_signature(res_surfaces, "surface_norm", k), bands, rows
+    )
+    dict_sig = band_keys(
+        _with_signature(
+            d.select("alias_norm", "entity_type", "canonical_id",
+                     "canonical_name").dropDuplicates(["alias_norm", "entity_type"]),
+            "alias_norm",
+            k,
+        ),
+        bands,
+        rows,
+    )
+    cand = (
+        res_sig.alias("r")
+        .join(
+            F.broadcast(dict_sig.alias("a")),
+            (F.col("r.band_idx") == F.col("a.band_idx"))
+            & (F.col("r.band_key") == F.col("a.band_key"))
+            & (F.col("r.entity_type") == F.col("a.entity_type")),
+        )
+        .select(
+            F.col("r.surface_norm").alias("surface_norm"),
+            F.col("r.entity_type").alias("entity_type"),
+            F.col("r.shingles").alias("s_r"),
+            F.col("a.alias_norm").alias("alias_norm"),
+            F.col("a.shingles").alias("s_a"),
+            F.col("a.canonical_id").alias("canonical_id"),
+            F.col("a.canonical_name").alias("canonical_name"),
+        )
+        .dropDuplicates(["surface_norm", "entity_type", "alias_norm"])
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("s_r", "s_a"))
+            / F.size(F.array_union("s_r", "s_a")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    best = (
+        cand.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("surface_norm", "entity_type").orderBy(
+                    F.col("jaccard").desc(), F.col("alias_norm")
+                )
+            ),
+        )
+        .filter(F.col("rank") == 1)
+        .select("surface_norm", "entity_type", "canonical_id", "canonical_name")
+    )
+    lsh_linked = residual.join(
+        F.broadcast(best), ["surface_norm", "entity_type"], "left"
+    ).withColumn(
+        "link_method",
+        F.when(F.col("canonical_id").isNotNull(), F.lit("lsh")).otherwise(
+            F.lit("unlinked")
+        ),
+    )
+    out_cols = resolved.columns
+    return resolved.unionByName(lsh_linked.select(*out_cols))
+
+
+def mentions_from_triples(triples: DataFrame) -> DataFrame:
+    """CAUSES triples -> mention rows (url, warc_ts, sent_idx, surface,
+    entity_type)."""
+    subj = triples.filter(F.col("pred") == "CAUSES").select(
+        "url",
+        "warc_ts",
+        "sent_idx",
+        F.col("subj").alias("surface"),
+        F.lit("DRUG").alias("entity_type"),
+    )
+    obj = triples.filter(F.col("pred") == "CAUSES").select(
+        "url",
+        "warc_ts",
+        "sent_idx",
+        F.col("obj").alias("surface"),
+        F.lit("EFFECT").alias("entity_type"),
+    )
+    return subj.unionByName(obj)

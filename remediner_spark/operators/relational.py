@@ -1,0 +1,286 @@
+"""SQL-expressible reference operators (SURVEY.md §2.2/§2.6) with
+DuckDB oracles, exercised over the driver-provided tables.
+
+Each entry implements one reference semantic as idiomatic Catalyst
+expressions (reference file:line cited per function) plus joins/aggs
+the engine relies on (broadcast hash join, semi/anti joins for eval
+P/R, window top-k, two-phase aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_r1_project_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: drop column (ref: src/data_utilities.py:13)."""
+    return _docs(spark, sf_dir).drop("source", "n_chars")
+
+
+SQL_R1 = "SELECT doc_id, text, lang FROM documents"
+
+
+def q_r2_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: drop_duplicates (ref: src/data_utilities.py:14)."""
+    return _docs(spark, sf_dir).select("lang", "source").dropDuplicates()
+
+
+SQL_R2 = "SELECT DISTINCT lang, source FROM documents"
+
+
+def q_r3_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: dropna (ref: src/data_utilities.py:15)."""
+    return _docs(spark, sf_dir).na.drop().select("doc_id")
+
+
+SQL_R3 = """
+SELECT doc_id FROM documents
+WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+  AND source IS NOT NULL AND n_chars IS NOT NULL"""
+
+
+def q_r4_overlap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4: drop rows where two token sets overlap
+    (ref: src/data_utilities.py:33-47). Stand-in sets: the first 3 and
+    last 3 whitespace words of each document."""
+    words = F.split(F.col("text"), " ")
+    head = F.slice(words, 1, 3)
+    tail = F.slice(words, -3, 3)
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("head3", head)
+        .withColumn("tail3", tail)
+        .filter(~F.arrays_overlap(F.col("head3"), F.col("tail3")))
+        .select("doc_id")
+    )
+
+
+SQL_R4 = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS w
+  FROM documents)
+SELECT doc_id FROM t
+WHERE len(list_intersect(w[1:3], w[-3:])) = 0"""
+
+
+def q_r5_to_r12_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5/R7/R8/R9/R10/R12: the JVM-safe normalization subset —
+    trim, quote strip, trailing-dot strip, whitespace collapse,
+    `=`-tighten, lowercase (ref: src/data_utilities.py:60-101).
+    (R6's Python-regex lookarounds stay in the Arrow kernel and are
+    covered by the differential unit tests, not this oracle.)"""
+    c = F.col("text")
+    c = F.trim(c)
+    c = F.regexp_replace(c, "'", "")
+    c = F.regexp_replace(c, r"\.\s*$", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"(\b\w)\s*=\s*", r"$1=")
+    c = F.lower(c)
+    return _docs(spark, sf_dir).select("doc_id", c.alias("norm_text"))
+
+
+SQL_R5_R12 = r"""
+SELECT doc_id,
+       lower(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           trim(text),
+           '''', '', 'g'),
+           '\.\s*$', ''),
+           '\s+', ' ', 'g'),
+           '(\b\w)\s*=\s*', '\1=', 'g')) AS norm_text
+FROM documents"""
+
+
+def q_r13_word_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13: whitespace word split + explode (UDTF-equivalent)
+    (ref: src/RE/data_utilities_re.py:47-49)."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    )
+
+
+SQL_R13 = """
+SELECT doc_id, unnest(string_split(text, ' ')) AS word
+FROM documents WHERE lang = 'en'"""
+
+
+def q_a2_label_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: the fixed 5-class IOB label map as a relational mapping
+    (ref: src/NER/data_utilities_ner.py:78-82)."""
+    labels = spark.createDataFrame(
+        [("O",), ("B-Drug",), ("I-Drug",), ("B-Effect",), ("I-Effect",)],
+        ["label"],
+    )
+    mapping = (
+        F.when(F.col("label") == "O", 0)
+        .when(F.col("label") == "B-Drug", 1)
+        .when(F.col("label") == "I-Drug", 2)
+        .when(F.col("label") == "B-Effect", 3)
+        .otherwise(4)
+    )
+    return labels.select("label", mapping.cast("int").alias("label_id"))
+
+
+SQL_A2 = """
+SELECT label,
+       CASE label WHEN 'O' THEN 0 WHEN 'B-Drug' THEN 1 WHEN 'I-Drug' THEN 2
+                  WHEN 'B-Effect' THEN 3 ELSE 4 END AS label_id
+FROM (VALUES ('O'), ('B-Drug'), ('I-Drug'), ('B-Effect'), ('I-Effect')) t(label)"""
+
+
+def q_a7_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (counts half): per-group label frequencies feeding class
+    weights (ref: src/data_utilities.py:117-137) — here per-language
+    word counts over documents."""
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("w").alias("n_distinct"),
+        )
+    )
+
+
+SQL_A7 = """
+WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT lang, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct
+FROM t GROUP BY lang"""
+
+
+def q_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join chain (M7's join shape): customer ->
+    nation -> region rollup."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+SQL_JOIN_BROADCAST = """
+SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name"""
+
+
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins — the eval P/R machinery (M10,
+    ref: src/FINALMODEL/test_final.py:13-32 semantics): orders with
+    vs without high-value lineitems."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_extendedprice") > 5000
+    )
+    hits = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_semi"
+    ).select(F.lit("hit").alias("kind"), "o_orderkey")
+    misses = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_anti"
+    ).select(F.lit("miss").alias("kind"), "o_orderkey")
+    return hits.unionByName(misses)
+
+
+SQL_JOIN_SEMI_ANTI = """
+SELECT 'hit' AS kind, o_orderkey FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_extendedprice > 5000)
+UNION ALL
+SELECT 'miss' AS kind, o_orderkey FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_extendedprice > 5000)"""
+
+
+def q_agg_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregation with map-side partials (M9's agg shape) over
+    the events table."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+SQL_AGG_TWO_PHASE = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type"""
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k (the similarity ranker's relational core): top-3
+    orders by totalprice per priority."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+SQL_WINDOW_TOPK = """
+SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderpriority
+      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders) t
+WHERE rank <= 3"""
+
+
+QUERIES = {
+    "r1_project_drop": q_r1_project_drop,
+    "r2_distinct": q_r2_distinct,
+    "r3_dropna": q_r3_dropna,
+    "r4_overlap_filter": q_r4_overlap_filter,
+    "r5_r12_normalize": q_r5_to_r12_normalize,
+    "r13_word_explode": q_r13_word_explode,
+    "a2_label_dictionary": q_a2_label_dictionary,
+    "a7_class_counts": q_a7_class_counts,
+    "join_broadcast_dims": q_join_broadcast_dims,
+    "join_semi_anti": q_join_semi_anti,
+    "agg_two_phase": q_agg_two_phase,
+    "window_topk": q_window_topk,
+}
+
+ORACLES = {
+    "r1_project_drop": SQL_R1,
+    "r2_distinct": SQL_R2,
+    "r3_dropna": SQL_R3,
+    "r4_overlap_filter": SQL_R4,
+    "r5_r12_normalize": SQL_R5_R12,
+    "r13_word_explode": SQL_R13,
+    "a2_label_dictionary": SQL_A2,
+    "a7_class_counts": SQL_A7,
+    "join_broadcast_dims": SQL_JOIN_BROADCAST,
+    "join_semi_anti": SQL_JOIN_SEMI_ANTI,
+    "agg_two_phase": SQL_AGG_TWO_PHASE,
+    "window_topk": SQL_WINDOW_TOPK,
+}

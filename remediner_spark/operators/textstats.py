@@ -1,0 +1,187 @@
+"""Text-analysis operators over a documents(doc_id, text, lang, ...) table.
+
+Training-data pipeline utilities (language ID, quality scoring, token
+counting, fingerprinting), each implemented twice on purpose:
+
+* a Spark DataFrame expression (JVM-side, whole-stage codegen), in
+  ``QUERIES`` — the engine path;
+* an equivalent ANSI-SQL string for the DuckDB oracle, in ``ORACLES``.
+
+The pair gives every operator a differential correctness check: the
+driver executes both and compares row counts + schema + value hashes.
+All expressions avoid engine-specific regex corners and raw-float
+outputs (ratios are rounded) so the comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Marker-substring language scorer (mirrors kernels.webtext semantics,
+# SQL-expressible: count = (len(s)-len(replace(s,m,'')))/len(m)).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": (" the ", " and ", " of ", " in ", " is "),
+    "de": (" der ", " die ", " und ", " ist ", " mit "),
+    "fr": (" le ", " la ", " les ", " et ", " est "),
+    "es": (" el ", " los ", " las ", " es ", " con "),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+STOPWORDS = ("the", "a", "of", "in", "and", "to", "is", "was")
+
+# BPE-ish token pattern: letter runs, digit runs, single other glyphs —
+# identical semantics under Java regex (Spark) and RE2 (DuckDB).
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# FP_MOD * FP_BASE + 2^32 must stay < 2^63 (ANSI overflow is a hard
+# error in Spark 4): 1e12-scale modulus with a 1e6-scale base.
+FP_BASE = 1_000_003
+FP_MOD = 999_999_999_989
+
+
+def _marker_count_expr(col, marker: str):
+    return (F.length(col) - F.length(F.replace(col, F.lit(marker)))) / len(marker)
+
+
+def _marker_count_sql(col: str, marker: str) -> str:
+    m = marker.replace("'", "''")
+    return f"(length({col}) - length(replace({col}, '{m}', ''))) / {len(marker)}"
+
+
+def _lang_score_exprs(col):
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    return {
+        lang: sum(_marker_count_expr(padded, m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scores = _lang_score_exprs(F.col("text"))
+    langs = list(LANG_MARKERS)
+    # first language (dict order) achieving the strictly-highest score;
+    # 'und' when every score is zero
+    best = F.greatest(*[scores[lg] for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):
+        pred = F.when((best > 0) & (scores[lg] == best), F.lit(lg)).otherwise(pred)
+    return docs.select(
+        "doc_id", pred.alias("lang_pred"), F.col("lang").alias("lang_true")
+    )
+
+
+def sql_text_langid() -> str:
+    langs = list(LANG_MARKERS)
+    padded = "(' ' || lower(text) || ' ')"
+    score = {
+        lg: "(" + " + ".join(_marker_count_sql(padded, m) for m in LANG_MARKERS[lg]) + ")"
+        for lg in langs
+    }
+    best = f"greatest({', '.join(score[lg] for lg in langs)})"
+    case = "CASE "
+    for lg in langs:
+        case += f"WHEN {best} > 0 AND {score[lg]} = {best} THEN '{lg}' "
+    case += "ELSE 'und' END"
+    return (
+        f"SELECT doc_id, {case} AS lang_pred, lang AS lang_true FROM documents"
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(*STOPWORDS)))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_text"),
+        n_words.alias("n_words"),
+        F.round(n_stop / n_words, 6).alias("stopword_ratio"),
+        F.round(n_alpha / F.greatest(F.length("text"), F.lit(1)), 6).alias(
+            "alpha_ratio"
+        ),
+    )
+
+
+def sql_text_quality() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+SELECT doc_id,
+       length(text) AS n_chars_text,
+       len(string_split(text, ' ')) AS n_words,
+       round(len(list_filter(string_split(text, ' '),
+                             w -> lower(w) IN ({stop_list})))
+             / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             / greatest(length(text), 1), 6) AS alpha_ratio
+FROM documents"""
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(
+            F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")
+        ).alias("bpe_tokens"),
+    )
+
+
+def sql_text_tokens() -> str:
+    return f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe_tokens
+FROM documents"""
+
+
+def md5_hash32_expr(col):
+    """Deterministic 32-bit hash from md5 hex prefix — identical in
+    Spark (conv) and DuckDB (hex cast); the cross-engine base hash for
+    fingerprints, minhash and simhash."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def md5_hash32_sql(col: str) -> str:
+    return f"CAST(('0x' || substring(md5({col}), 1, 8)) AS BIGINT)"
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    fp = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * FP_BASE + md5_hash32_expr(w)) % FP_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def sql_text_fingerprint() -> str:
+    h = md5_hash32_sql("w")
+    return f"""
+SELECT doc_id,
+       coalesce(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(text, ' '), w -> {h})),
+           (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}), 0) AS fingerprint
+FROM documents"""
+
+
+QUERIES = {
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_tokens": q_text_tokens,
+    "text_fingerprint": q_text_fingerprint,
+}
+
+ORACLES = {
+    "text_langid": sql_text_langid(),
+    "text_quality": sql_text_quality(),
+    "text_tokens": sql_text_tokens(),
+    "text_fingerprint": sql_text_fingerprint(),
+}

@@ -1,0 +1,145 @@
+"""Per-partition checkpointing with lineage + metrics (resumable runs).
+
+Generalizes the reference's cache-gate pattern (the CSV existence
+checks at /root/reference/src/main.py:124-146) to a distributed,
+bucket-granular contract, per SURVEY.md §4.3:
+
+* Work is bucketed by a deterministic hash of the lineage key (url):
+  ``_bucket = pmod(xxhash64(url), n_buckets)``.
+* A stage writes its output parquet **partitioned by _bucket** with
+  dynamic partition overwrite, so re-processing a bucket is
+  idempotent (replaces the partition, never duplicates).
+* After the data commit, a manifest line per bucket records
+  (stage, bucket, url_min, url_max, rows_in, rows_out, status,
+  wall_sec) — the lineage + metrics record.
+* Resume = set difference: buckets in the manifest with
+  status=committed are skipped; only pending buckets recompute.
+  Crash between data write and manifest append -> the bucket is
+  simply recomputed (overwrite makes that safe).
+
+The manifest is driver-side JSONL (metadata-sized; one line per
+bucket per stage), written via temp-file + atomic rename.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "_bucket"
+
+
+def with_bucket(df: DataFrame, n_buckets: int, key: str = "url") -> DataFrame:
+    return df.withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    )
+
+
+def _manifest_path(checkpoint_dir: str, stage: str) -> str:
+    return os.path.join(checkpoint_dir, f"manifest_{stage}.jsonl")
+
+
+def read_manifest(checkpoint_dir: str, stage: str) -> list[dict]:
+    path = _manifest_path(checkpoint_dir, stage)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def committed_buckets(checkpoint_dir: str, stage: str) -> set[int]:
+    return {
+        rec["bucket"]
+        for rec in read_manifest(checkpoint_dir, stage)
+        if rec["status"] == "committed"
+    }
+
+
+def _append_manifest(checkpoint_dir: str, stage: str, records: list[dict]) -> None:
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = _manifest_path(checkpoint_dir, stage)
+    tmp = path + ".tmp"
+    existing = read_manifest(checkpoint_dir, stage)
+    with open(tmp, "w") as f:
+        for rec in existing + records:
+            f.write(json.dumps(rec) + "\n")
+    os.replace(tmp, path)
+
+
+def run_stage(
+    spark: SparkSession,
+    stage: str,
+    input_df: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    checkpoint_dir: str,
+    n_buckets: int = 32,
+    key: str = "url",
+) -> DataFrame:
+    """Run ``transform`` over only the not-yet-committed buckets of
+    ``input_df``; return the full (committed + new) stage output.
+
+    ``transform`` must preserve the lineage key column. Output lands at
+    {checkpoint_dir}/{stage}/ partitioned by _bucket.
+    """
+    data_dir = os.path.join(checkpoint_dir, stage)
+    bucketed = with_bucket(input_df, n_buckets, key)
+    done = committed_buckets(checkpoint_dir, stage)
+    pending = bucketed.filter(~F.col(BUCKET_COL).isin(list(done))) if done else bucketed
+
+    in_stats = {
+        r[BUCKET_COL]: r
+        for r in pending.groupBy(BUCKET_COL)
+        .agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            F.min(key).alias("url_min"),
+            F.max(key).alias("url_max"),
+        )
+        .collect()
+    }
+    if in_stats:
+        t0 = time.time()
+        out = transform(pending)
+        if BUCKET_COL not in out.columns:
+            out = with_bucket(out, n_buckets, key)
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(data_dir)
+        )
+        wall = time.time() - t0
+        out_counts = {
+            r[BUCKET_COL]: r["rows_out"]
+            for r in spark.read.parquet(data_dir)
+            .filter(F.col(BUCKET_COL).isin(list(in_stats)))
+            .groupBy(BUCKET_COL)
+            .agg(F.count(F.lit(1)).alias("rows_out"))
+            .collect()
+        }
+        records = [
+            {
+                "stage": stage,
+                "bucket": int(b),
+                "url_min": s["url_min"],
+                "url_max": s["url_max"],
+                "rows_in": int(s["rows_in"]),
+                "rows_out": int(out_counts.get(b, 0)),
+                "status": "committed",
+                "wall_sec": round(wall, 3),
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            }
+            for b, s in in_stats.items()
+        ]
+        _append_manifest(checkpoint_dir, stage, records)
+
+    committed = committed_buckets(checkpoint_dir, stage)
+    return (
+        spark.read.parquet(data_dir)
+        .filter(F.col(BUCKET_COL).isin([int(b) for b in committed]))
+        .drop(BUCKET_COL)
+    )

@@ -1,0 +1,155 @@
+"""Entity linking (dict + LSH) and graph materialization tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from remediner_spark.operators.graph import (
+    build_edges,
+    build_edges_unsalted,
+    build_graph,
+    build_nodes,
+    link_triples,
+)
+from remediner_spark.operators.linking import (
+    link_mentions,
+    mentions_from_triples,
+)
+from remediner_spark.operators.ner import GazetteerTagger, extract_triples_stage
+from remediner_spark.operators.text import filter_language
+from remediner_spark.sources.corpus import drug_lexicon, effect_lexicon
+
+
+@pytest.fixture(scope="module")
+def triples_df(spark, corpus_dir):
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    tagger_bc = spark.sparkContext.broadcast(
+        GazetteerTagger(drug_lexicon(), effect_lexicon())
+    )
+    return extract_triples_stage(filter_language(pages), tagger_bc).cache()
+
+
+@pytest.fixture(scope="module")
+def dictionary_df(spark, corpus_dir):
+    return spark.read.parquet(f"{corpus_dir}/entity_dictionary.parquet")
+
+
+def test_dict_linking_exact(spark, dictionary_df):
+    # pick one present drug + effect alias from the dictionary itself
+    d = dictionary_df.toPandas()
+    drug_alias = d[d["entity_type"] == "DRUG"].iloc[0]
+    effect_alias = d[d["entity_type"] == "EFFECT"].iloc[0]
+    mentions = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u1", "u2"],
+                "warc_ts": pd.to_datetime(["2024-01-01", "2024-01-02"]).astype(
+                    "datetime64[us]"
+                ),
+                "sent_idx": pd.array([0, 0], dtype="int32"),
+                # mixed case: the join key is lower(trim(surface))
+                "surface": [
+                    drug_alias["alias"].upper(),
+                    effect_alias["alias"],
+                ],
+                "entity_type": ["DRUG", "EFFECT"],
+            }
+        )
+    )
+    linked = link_mentions(mentions, dictionary_df).toPandas()
+    assert (linked["link_method"] == "dict").all()
+    assert set(linked["canonical_name"]) == {
+        drug_alias["canonical_name"],
+        effect_alias["canonical_name"],
+    }
+
+
+def test_lsh_links_typo_variants(spark, dictionary_df):
+    # a typo surface absent from the alias list should link via LSH
+    mentions = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u1"],
+                "warc_ts": pd.to_datetime(["2024-01-01"]).astype("datetime64[us]"),
+                "sent_idx": pd.array([0], dtype="int32"),
+                "surface": ["cardiomexiaa"],  # extra char vs 'cardiomexia'
+                "entity_type": ["EFFECT"],
+            }
+        )
+    )
+    linked = link_mentions(mentions, dictionary_df).toPandas()
+    row = linked.iloc[0]
+    assert row["link_method"] == "lsh"
+    assert row["canonical_name"] == "cardiomexia"
+
+
+def test_unlinkable_surface_stays_unlinked(spark, dictionary_df):
+    mentions = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u1"],
+                "warc_ts": pd.to_datetime(["2024-01-01"]).astype("datetime64[us]"),
+                "sent_idx": pd.array([0], dtype="int32"),
+                "surface": ["zzqqwwxxyy"],
+                "entity_type": ["DRUG"],
+            }
+        )
+    )
+    linked = link_mentions(mentions, dictionary_df).toPandas()
+    assert linked.iloc[0]["link_method"] == "unlinked"
+    assert pd.isna(linked.iloc[0]["canonical_id"])
+
+
+def test_corpus_linking_coverage(spark, triples_df, dictionary_df):
+    mentions = mentions_from_triples(triples_df)
+    linked = link_mentions(mentions, dictionary_df)
+    counts = {
+        r["link_method"]: r["n"]
+        for r in linked.groupBy("link_method")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    assert total == mentions.count()
+    # dictionary covers ~85% of lexicon; dict hits dominate
+    assert counts.get("dict", 0) / total > 0.6
+
+
+def test_salted_edges_equal_unsalted(spark, triples_df, dictionary_df):
+    mentions = mentions_from_triples(triples_df)
+    linked = link_mentions(mentions, dictionary_df)
+    with_ids = link_triples(triples_df, linked)
+    salted = (
+        build_edges(with_ids, salt_buckets=8)
+        .select("subj_id", "pred", "obj_id", "weight", "first_seen")
+        .toPandas()
+        .sort_values(["subj_id", "obj_id"])
+        .reset_index(drop=True)
+    )
+    unsalted = (
+        build_edges_unsalted(with_ids)
+        .toPandas()
+        .sort_values(["subj_id", "obj_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        salted, unsalted[salted.columns], check_dtype=False
+    )
+
+
+def test_build_graph_end_to_end(spark, triples_df, dictionary_df):
+    nodes, edges = build_graph(triples_df, dictionary_df)
+    nodes_p = nodes.toPandas()
+    edges_p = edges.toPandas()
+    assert nodes_p["entity_id"].is_unique
+    assert set(nodes_p["entity_type"]) == {"DRUG", "EFFECT"}
+    # total mention count equals 2x CAUSES triples (subj + obj)
+    n_triples = triples_df.count()
+    assert nodes_p["n_mentions"].sum() == 2 * n_triples
+    assert edges_p["weight"].sum() == n_triples
+    assert (edges_p["sample_urls"].str.len() >= 1).all()
+    # Zipf head drug should be a high-weight node
+    top = nodes_p[nodes_p["entity_type"] == "DRUG"].nlargest(1, "n_mentions")
+    assert top.iloc[0]["n_mentions"] > nodes_p["n_mentions"].median() * 3
