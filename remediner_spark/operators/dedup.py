@@ -156,25 +156,31 @@ JOIN sized sb ON sb.doc_id = doc_b
 WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= {JACCARD_T}"""
 
 
-def _minhash_exprs(shingles_col):
-    sigs = []
-    for i in range(MH_K):
-        a, b = MH_A[i], MH_B[i]
+def _minhash_over_base(base_col):
+    """16 min-hashes over a pre-computed base-hash array: the md5 is
+    evaluated once per shingle; each signature row is a cheap LCG over
+    the long array."""
 
-        def hash_fn(a=a, b=b):
-            return lambda s: ((md5_hash32_expr(s) % MH_P) * a + b) % MH_P
+    def lcg(a: int, b: int):
+        return lambda h: (h * a + b) % MH_P
 
-        sigs.append(
-            F.array_min(F.transform(shingles_col, hash_fn())).alias(f"mh_{i}")
-        )
-    return sigs
+    return [
+        F.array_min(F.transform(base_col, lcg(MH_A[i], MH_B[i]))).alias(f"mh_{i}")
+        for i in range(MH_K)
+    ]
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", _shingles_expr(F.col("text")).alias("sh")
     )
-    sig = docs.select("doc_id", *_minhash_exprs(F.col("sh")))
+    base = docs.select(
+        "doc_id",
+        F.transform(
+            F.col("sh"), lambda s: md5_hash32_expr(s) % MH_P
+        ).alias("bh"),
+    )
+    sig = base.select("doc_id", *_minhash_over_base(F.col("bh")))
     bands = sig.select(
         "doc_id",
         F.explode(

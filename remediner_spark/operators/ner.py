@@ -141,7 +141,11 @@ def extract_triples_stage(
                 columns=["url", "warc_ts", "sent_idx", "subj", "pred", "obj"],
             )
 
-    return pages.mapInPandas(fn, TRIPLE_SCHEMA)
+    # prune before the Python stage: mapInPandas ships its full input
+    # schema over Arrow, so dropping unused columns (notably the html
+    # binary) here halves the JVM->Python transfer
+    pruned = pages.select("url", "warc_ts", text_col)
+    return pruned.mapInPandas(fn, TRIPLE_SCHEMA)
 
 
 def tag_sentences_stage(

