@@ -32,17 +32,14 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     from remediner_spark.operators.ner import (
-        GazetteerTagger,
         extract_triples_stage,
         with_inverse_triples,
     )
     from remediner_spark.operators.text import (
         extraction_mismatch_count,
         filter_language,
-        with_extracted_text,
     )
     from remediner_spark.session import get_spark
-    from remediner_spark.sources.corpus import drug_lexicon, effect_lexicon
 
     spark = get_spark(app_name="remediner-job", cores=args.cores)
     t0 = time.time()
@@ -52,15 +49,13 @@ def main(argv: list[str] | None = None) -> int:
     english = filter_language(pages).cache()
     n_pages = english.count()
     mismatches = extraction_mismatch_count(english)
-    extracted = (
-        with_extracted_text(english)
-        .drop("text")
-        .withColumnRenamed("extracted_text", "text")
+    from remediner_spark.plans.pipeline import default_tagger_bc
+
+    tagger_bc = default_tagger_bc(spark)
+    # extraction is fused into the triple stage (html in, triples out)
+    triples = with_inverse_triples(
+        extract_triples_stage(english, tagger_bc, extract_html=True)
     )
-    tagger_bc = spark.sparkContext.broadcast(
-        GazetteerTagger(drug_lexicon(), effect_lexicon())
-    )
-    triples = with_inverse_triples(extract_triples_stage(extracted, tagger_bc))
     triples.write.mode("overwrite").partitionBy("pred").parquet(
         f"{args.out}/triples"
     )

@@ -103,6 +103,7 @@ def extract_triples_stage(
     pages: DataFrame,
     tagger_bc,
     text_col: str = "text",
+    extract_html: bool = False,
 ) -> DataFrame:
     """Fused pages -> triples mapInPandas stage (CAUSES direction).
 
@@ -111,6 +112,12 @@ def extract_triples_stage(
     relation; subjects/objects are lowercase mention surfaces, matching
     the reference's lowercased entity convention
     (/root/reference/src/data_utilities.py:100-101).
+
+    With ``extract_html=True`` the html->text extraction runs inside
+    the same Python stage (one JVM<->Python round-trip for
+    extract+segment+normalize+NER+RE, per SURVEY.md §4.3); the
+    byte-identity invariant stays a separate audit action
+    (operators.text.extraction_mismatch_count).
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -118,6 +125,8 @@ def extract_triples_stage(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            if extract_html:
+                pdf = pdf.assign(**{text_col: webtext.extract_text(pdf["html"])})
             sent = _sentences_from_pages(pdf, text_col)
             if len(sent) == 0:
                 continue
@@ -143,8 +152,9 @@ def extract_triples_stage(
 
     # prune before the Python stage: mapInPandas ships its full input
     # schema over Arrow, so dropping unused columns (notably the html
-    # binary) here halves the JVM->Python transfer
-    pruned = pages.select("url", "warc_ts", text_col)
+    # binary when text is trusted) here halves the JVM->Python transfer
+    cols = ["url", "warc_ts", "html" if extract_html else text_col]
+    pruned = pages.select(*cols)
     return pruned.mapInPandas(fn, TRIPLE_SCHEMA)
 
 

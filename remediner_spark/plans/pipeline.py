@@ -22,15 +22,21 @@ from ..operators.ner import (
     extract_triples_stage,
     with_inverse_triples,
 )
-from ..operators.text import filter_language, with_extracted_text
+from ..operators.text import filter_language
 from .checkpoint import run_stage
 
 
 def default_tagger_bc(spark: SparkSession):
-    from ..sources.corpus import drug_lexicon, effect_lexicon
+    from ..sources.corpus import drug_lexicon, effect_lexicon, typo_surface
 
+    # the gazetteer stands in for the trained NER model, which
+    # generalizes to noisy surfaces — include the corpus's typo class
+    # in the model vocabulary (they are NOT dictionary aliases, so they
+    # exercise the LSH linking path end-to-end)
+    drugs = drug_lexicon()
+    drugs = drugs + [typo_surface(d) for d in drugs]
     return spark.sparkContext.broadcast(
-        GazetteerTagger(drug_lexicon(), effect_lexicon())
+        GazetteerTagger(drugs, effect_lexicon())
     )
 
 
@@ -49,17 +55,10 @@ def run_pipeline(
     english = filter_language(pages)
 
     def extract_transform(df: DataFrame) -> DataFrame:
-        extracted = (
-            with_extracted_text(df)
-            .withColumn(
-                "extract_ok", F.col("extracted_text") == F.col("text")
-            )
-            .drop("text")
-            .withColumnRenamed("extracted_text", "text")
-        )
-        return extract_triples_stage(
-            extracted.drop("extract_ok"), tagger_bc
-        )
+        # html->text extraction fused into the same Python stage; the
+        # byte-identity invariant is a separate audit action
+        # (operators.text.extraction_mismatch_count, run by job.py)
+        return extract_triples_stage(df, tagger_bc, extract_html=True)
 
     if checkpoint:
         triples = run_stage(
@@ -76,11 +75,18 @@ def run_pipeline(
     nodes = build_nodes(linked)
     edges = build_edges(link_triples(triples, linked))
 
-    nodes.write.mode("overwrite").parquet(os.path.join(out_dir, "nodes"))
-    edges.write.mode("overwrite").parquet(os.path.join(out_dir, "edges"))
+    # graph tables land in the Iceberg-style format (snapshot history,
+    # manifest-planned reads, partition pruning) — sources/table.py
+    from ..sources.table import write_table
+
+    write_table(nodes, os.path.join(out_dir, "nodes"), mode="overwrite")
+    write_table(edges, os.path.join(out_dir, "edges"), mode="overwrite")
     all_triples = with_inverse_triples(triples)
-    all_triples.write.mode("overwrite").partitionBy("pred").parquet(
-        os.path.join(out_dir, "triples_out")
+    write_table(
+        all_triples,
+        os.path.join(out_dir, "triples_out"),
+        mode="overwrite",
+        partition_by=["pred"],
     )
 
     link_counts = {
@@ -89,9 +95,11 @@ def run_pipeline(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    from ..sources.table import read_table
+
     return {
-        "n_triples": spark.read.parquet(os.path.join(out_dir, "triples_out")).count(),
-        "n_nodes": spark.read.parquet(os.path.join(out_dir, "nodes")).count(),
-        "n_edges": spark.read.parquet(os.path.join(out_dir, "edges")).count(),
+        "n_triples": read_table(spark, os.path.join(out_dir, "triples_out")).count(),
+        "n_nodes": read_table(spark, os.path.join(out_dir, "nodes")).count(),
+        "n_edges": read_table(spark, os.path.join(out_dir, "edges")).count(),
         "link_counts": link_counts,
     }

@@ -108,6 +108,22 @@ def _zipf_probs(n: int) -> np.ndarray:
     return w / w.sum()
 
 
+def typo_surface(term: str) -> str:
+    """Deterministic 'crawl-noise' variant: duplicate the middle char of
+    the first word (dorvax -> dorvvax). Distinct from the dictionary's
+    alias-typo class (char swap, corpus.generate_entity_dictionary), so
+    these surfaces are NOT dictionary aliases and must resolve through
+    the MinHash-LSH residual path (M8)."""
+    words = term.split()
+    w = words[0]
+    mid = len(w) // 2
+    words[0] = w[:mid] + w[mid] + w[mid:]
+    return " ".join(words)
+
+
+TYPO_FRACTION = 0.08
+
+
 def generate_annotations(n_pages: int, rng: np.random.RandomState) -> pd.DataFrame:
     """One row per (sentence, drug, effect) relation instance."""
     drugs = drug_lexicon()
@@ -120,6 +136,11 @@ def generate_annotations(n_pages: int, rng: np.random.RandomState) -> pd.DataFra
         n_sents = 1 + rng.randint(0, 4)
         for sent_idx in range(n_sents):
             drug = drugs[rng.choice(len(drugs), p=d_probs)]
+            # a slice of mentions carries crawl noise: the typo'd
+            # surface appears in BOTH the text and the gold mention
+            # (the NER model generalizes to it; the dictionary doesn't)
+            if rng.rand() < TYPO_FRACTION:
+                drug = typo_surface(drug)
             effect = effects[rng.randint(0, len(effects))]
             template = _TEMPLATES[rng.randint(0, len(_TEMPLATES))]
             text = template.format(drug=drug, effect=effect)

@@ -1,0 +1,209 @@
+"""Iceberg-style table format on plain parquet (no external jars).
+
+The north rule targets "Iceberg tables of Common-Crawl-style web
+pages"; this sandbox has no Iceberg runtime, so this module implements
+the load-bearing subset of the table-format contract the engine needs,
+the way Iceberg does it — metadata-driven, snapshot-based:
+
+* **Snapshots**: every write (append / overwrite) creates an immutable
+  snapshot listing exactly the data files it contains. Old files are
+  never deleted by overwrite, so any historical snapshot remains
+  readable (time travel).
+* **Manifests**: per-snapshot JSON with schema + per-file entries
+  (path, partition values, row count). Readers plan from the manifest,
+  not from directory listing.
+* **Partition pruning**: `read_table(..., partition_filter=...)`
+  selects matching files from the manifest and hands ONLY those to
+  `spark.read.parquet` — the scan never touches pruned partitions.
+* **Schema check**: appends must carry the table schema (same names &
+  types); mismatches fail at write time.
+
+At 100 TB the manifest write becomes a distributed job and the JSON a
+metadata table; the reader-side contract (plan from manifest, prune
+before scan, snapshot pinning) is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, "_metadata")
+
+
+def _snapshots_file(path: str) -> str:
+    return os.path.join(_meta_dir(path), "snapshots.json")
+
+
+def _load_snapshots(path: str) -> list[dict]:
+    f = _snapshots_file(path)
+    if not os.path.exists(f):
+        return []
+    with open(f) as fh:
+        return json.load(fh)
+
+
+def _save_snapshots(path: str, snapshots: list[dict]) -> None:
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    tmp = _snapshots_file(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(snapshots, fh, indent=1)
+    os.replace(tmp, _snapshots_file(path))
+
+
+def _collect_file_entries(data_dir: str, partition_by: list[str]) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    entries = []
+    for root, _dirs, files in os.walk(data_dir):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            fpath = os.path.join(root, name)
+            rel = os.path.relpath(fpath, data_dir)
+            partition = {}
+            for seg in rel.split(os.sep)[:-1]:
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    partition[k] = v
+            entries.append(
+                {
+                    "path": fpath,
+                    "partition": partition,
+                    "rows": pq.ParquetFile(fpath).metadata.num_rows,
+                }
+            )
+    return entries
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Write a snapshot; returns the snapshot record."""
+    partition_by = partition_by or []
+    snapshots = _load_snapshots(path)
+    if snapshots:
+        prev_schema = snapshots[-1]["schema"]
+        cur_schema = df.schema.jsonValue()
+        if prev_schema["fields"] != cur_schema["fields"]:
+            raise ValueError(
+                "schema mismatch vs table schema: "
+                f"{[f['name'] for f in prev_schema['fields']]} != "
+                f"{[f['name'] for f in cur_schema['fields']]}"
+            )
+        prev_partition = snapshots[-1]["partition_by"]
+        if prev_partition != partition_by:
+            raise ValueError(
+                f"partition spec mismatch: {prev_partition} != {partition_by}"
+            )
+    commit_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", f"commit={commit_id}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
+
+    new_files = _collect_file_entries(data_dir, partition_by)
+    if mode == "append" and snapshots:
+        files = snapshots[-1]["files"] + new_files
+    elif mode in ("append", "overwrite"):
+        files = new_files
+    else:
+        raise ValueError(f"unsupported mode {mode!r}")
+    snapshot = {
+        "snapshot_id": len(snapshots) + 1,
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "mode": mode,
+        "commit": commit_id,
+        "schema": df.schema.jsonValue(),
+        "partition_by": partition_by,
+        "files": files,
+        "total_rows": sum(f["rows"] for f in files),
+    }
+    _save_snapshots(path, snapshots + [snapshot])
+    return snapshot
+
+
+def table_snapshots(path: str) -> list[dict]:
+    return [
+        {k: s[k] for k in ("snapshot_id", "ts", "mode", "total_rows")}
+        for s in _load_snapshots(path)
+    ]
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+) -> DataFrame:
+    """Plan the read from the manifest: pick the snapshot, prune files
+    by partition values, scan only the surviving files."""
+    snapshots = _load_snapshots(path)
+    if not snapshots:
+        raise FileNotFoundError(f"no table at {path}")
+    if snapshot_id is None:
+        snap = snapshots[-1]
+    else:
+        matching = [s for s in snapshots if s["snapshot_id"] == snapshot_id]
+        if not matching:
+            raise ValueError(f"no snapshot {snapshot_id} in {path}")
+        snap = matching[0]
+    files = snap["files"]
+    if partition_filter:
+        files = [
+            f
+            for f in files
+            if all(
+                f["partition"].get(k) == str(v)
+                for k, v in partition_filter.items()
+            )
+        ]
+    if not files:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(snap["schema"])
+        return spark.createDataFrame([], schema)
+    df = spark.read.parquet(*[f["path"] for f in files])
+    # re-attach partition values pruned out of the file paths
+    import pyspark.sql.functions as F
+
+    for col in snap["partition_by"]:
+        if col not in df.columns:
+            # constant per file dir; recover from input_file_name
+            df = df.withColumn(
+                col,
+                F.regexp_extract(F.input_file_name(), f"{col}=([^/]+)", 1),
+            )
+    return df
+
+
+def pruned_file_count(
+    path: str, partition_filter: dict, snapshot_id: int | None = None
+) -> tuple[int, int]:
+    """(selected, total) file counts for a filter — pruning evidence."""
+    snapshots = _load_snapshots(path)
+    snap = snapshots[-1] if snapshot_id is None else [
+        s for s in snapshots if s["snapshot_id"] == snapshot_id
+    ][0]
+    total = len(snap["files"])
+    selected = len(
+        [
+            f
+            for f in snap["files"]
+            if all(
+                f["partition"].get(k) == str(v)
+                for k, v in partition_filter.items()
+            )
+        ]
+    )
+    return selected, total

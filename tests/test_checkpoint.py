@@ -25,9 +25,9 @@ def english_pages(spark, corpus_dir):
 
 @pytest.fixture()
 def tagger_bc(spark):
-    return spark.sparkContext.broadcast(
-        GazetteerTagger(drug_lexicon(), effect_lexicon())
-    )
+    from remediner_spark.plans.pipeline import default_tagger_bc
+
+    return default_tagger_bc(spark)
 
 
 def triples_transform(tagger_bc):

@@ -50,11 +50,17 @@ def test_gold_triples_cover_annotations():
     # every annotation row should yield exactly one CAUSES triple
     assert len(gold) == len(ann.drop_duplicates(["url", "sent_idx"]))
     assert (gold["pred"] == "CAUSES").all()
-    # subjects/objects are normalized lowercase lexicon surfaces
+    # subjects/objects are normalized lowercase lexicon surfaces, plus
+    # the deterministic typo class (crawl-noise slice)
+    from remediner_spark.sources.corpus import typo_surface
+
     drugs = {d.lower() for d in drug_lexicon()}
+    drugs |= {typo_surface(d).lower() for d in drug_lexicon()}
     effects = {e.lower() for e in effect_lexicon()}
     assert set(gold["subj"]).issubset(drugs)
     assert set(gold["obj"]).issubset(effects)
+    # the typo slice exists
+    assert set(gold["subj"]) - {d.lower() for d in drug_lexicon()}
 
 
 def test_pair_mentions_positional_dedupes():

@@ -25,9 +25,9 @@ from remediner_spark.sources.corpus import drug_lexicon, effect_lexicon
 @pytest.fixture(scope="module")
 def triples_df(spark, corpus_dir):
     pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
-    tagger_bc = spark.sparkContext.broadcast(
-        GazetteerTagger(drug_lexicon(), effect_lexicon())
-    )
+    from remediner_spark.plans.pipeline import default_tagger_bc
+
+    tagger_bc = default_tagger_bc(spark)
     return extract_triples_stage(filter_language(pages), tagger_bc).cache()
 
 
@@ -115,6 +115,8 @@ def test_corpus_linking_coverage(spark, triples_df, dictionary_df):
     assert total == mentions.count()
     # dictionary covers ~85% of lexicon; dict hits dominate
     assert counts.get("dict", 0) / total > 0.6
+    # the corpus typo slice must exercise the LSH residual path e2e
+    assert counts.get("lsh", 0) > 0
 
 
 def test_salted_edges_equal_unsalted(spark, triples_df, dictionary_df):

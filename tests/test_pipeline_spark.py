@@ -35,8 +35,9 @@ def ann_pdf(corpus_dir):
 
 @pytest.fixture(scope="module")
 def tagger_bc(spark):
-    tagger = GazetteerTagger(drug_lexicon(), effect_lexicon())
-    return spark.sparkContext.broadcast(tagger)
+    from remediner_spark.plans.pipeline import default_tagger_bc
+
+    return default_tagger_bc(spark)
 
 
 def test_extraction_invariant_zero_mismatches(pages_df):

@@ -19,9 +19,9 @@ from remediner_spark.streaming import stream_triples
 
 @pytest.fixture(scope="module")
 def tagger_bc(spark):
-    return spark.sparkContext.broadcast(
-        GazetteerTagger(drug_lexicon(), effect_lexicon())
-    )
+    from remediner_spark.plans.pipeline import default_tagger_bc
+
+    return default_tagger_bc(spark)
 
 
 def _write_pages_split(tmp_path, n_pages=120):
