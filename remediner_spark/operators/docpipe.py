@@ -179,14 +179,83 @@ triples AS (
 SELECT subj, obj, count(*) AS weight FROM triples GROUP BY subj, obj"""
 
 
+def q_s2_entity_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 (substring-index source): first-occurrence character offset of
+    each lexicon surface per document (the reference's nested `indexes`
+    struct, /root/reference/ade_corpus_v2/ade_corpus_v2.py:207-214,
+    flattened to rows)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = DOC_DRUGS + DOC_EFFECTS
+    offsets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.locate(t, F.col("text")).alias("start_pos"),
+            )
+            for t in terms
+        ]
+    )
+    return (
+        docs.select("doc_id", F.explode(offsets).alias("o"))
+        .select("doc_id", "o.term", "o.start_pos")
+        .filter(F.col("start_pos") > 0)
+        .withColumn(
+            "end_pos", F.col("start_pos") + F.length(F.col("term")) - 1
+        )
+    )
+
+
+SQL_S2 = " UNION ALL ".join(
+    f"SELECT doc_id, '{t}' AS term, strpos(text, '{t}') AS start_pos, "
+    f"strpos(text, '{t}') + {len(t) - 1} AS end_pos "
+    f"FROM documents WHERE strpos(text, '{t}') > 0"
+    for t in DOC_DRUGS + DOC_EFFECTS
+)
+
+
+def q_kg_top_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship KG consumer query: top-3 effects per drug by edge
+    weight ('what does drug X cause?') over the M6/M9 graph."""
+    from pyspark.sql.window import Window
+
+    edges = q_m9_edges_docs(spark, sf_dir)
+    w = Window.partitionBy("subj").orderBy(
+        F.col("weight").desc(), F.col("obj")
+    )
+    return (
+        edges.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("subj", "rank", "obj", "weight")
+    )
+
+
+SQL_KG_TOP = f"""
+WITH {_sql_mention_ranks()},
+triples AS (
+  SELECT d_rank.doc_id, d_rank.surface AS subj, e_rank.surface AS obj
+  FROM d_rank JOIN e_rank
+    ON d_rank.doc_id = e_rank.doc_id AND d_rank.rnk = e_rank.rnk),
+edges AS (
+  SELECT subj, obj, count(*) AS weight FROM triples GROUP BY subj, obj),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY subj ORDER BY weight DESC, obj) AS rank
+  FROM edges)
+SELECT subj, rank, obj, weight FROM ranked WHERE rank <= 3"""
+
+
 QUERIES = {
+    "s2_entity_offsets": q_s2_entity_offsets,
     "m1_gazetteer_ner": q_m1_gazetteer_counts,
     "m6_triple_assembly": q_m6_triples_docs,
     "m9_edge_agg_salted": q_m9_edges_docs,
+    "kg_top_effects_per_drug": q_kg_top_effects,
 }
 
 ORACLES = {
+    "s2_entity_offsets": SQL_S2,
     "m1_gazetteer_ner": SQL_M1,
     "m6_triple_assembly": SQL_M6,
     "m9_edge_agg_salted": SQL_M9,
+    "kg_top_effects_per_drug": SQL_KG_TOP,
 }

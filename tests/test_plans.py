@@ -1,0 +1,62 @@
+"""Physical-plan properties that must hold at scale (pushdown, pruning,
+broadcast, top-k limit) — the cheap in-CI slice of tools/explain_audit."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_lang_filter_pushed_to_scan(spark):
+    from remediner_spark.operators.relational import q_r13_word_explode
+
+    plan = plan_of(q_r13_word_explode(spark, SF))
+    assert "EqualTo(lang,en)" in plan
+
+
+def test_scan_column_pruned(spark):
+    from remediner_spark.operators.textstats import q_text_tokens
+
+    plan = plan_of(q_text_tokens(spark, SF))
+    read_schema = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ][0]
+    assert "text" in read_schema and "source" not in read_schema
+
+
+def test_dim_join_broadcasts(spark):
+    from remediner_spark.operators.relational import q_join_broadcast_dims
+
+    plan = plan_of(q_join_broadcast_dims(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_window_group_limit(spark):
+    from remediner_spark.operators.relational import q_window_topk
+
+    plan = plan_of(q_window_topk(spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_fused_stage_prunes_html(spark, corpus_dir):
+    from remediner_spark.operators.ner import extract_triples_stage
+    from remediner_spark.operators.text import filter_language
+    from remediner_spark.plans.pipeline import default_tagger_bc
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    df = extract_triples_stage(filter_language(pages), default_tagger_bc(spark))
+    read_schema = [
+        ln for ln in plan_of(df).splitlines() if "ReadSchema" in ln
+    ][0]
+    assert "html" not in read_schema
+    assert "text" in read_schema
