@@ -90,6 +90,7 @@ def _kg_corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from remediner_spark.operators import (
+        components,
         dedup,
         docpipe,
         multimodal,
@@ -100,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
+    out.update(components.QUERIES)
     out.update(docpipe.QUERIES)
     out.update(textstats.QUERIES)
     out.update(dedup.QUERIES)
@@ -111,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from remediner_spark.operators import (
+        components,
         dedup,
         docpipe,
         multimodal,
@@ -121,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
+    out.update(components.ORACLES)
     out.update(docpipe.ORACLES)
     out.update(textstats.ORACLES)
     out.update(dedup.ORACLES)

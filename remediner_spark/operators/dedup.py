@@ -135,10 +135,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_dedup_ngram_jaccard() -> str:
+def sql_jaccard_ctes() -> str:
+    """CTE chain ending in ``jpairs(doc_a, doc_b, jaccard)`` — the
+    filtered near-dup pair list. Shared by the pair query and the
+    connected-components oracle (operators/components.py)."""
     sh = _shingles_sql("text")
-    return f"""
-WITH s AS (SELECT doc_id, {sh} AS sh FROM documents),
+    return f"""s AS (SELECT doc_id, {sh} AS sh FROM documents),
 inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
 rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= {MAX_DF}),
 inv2 AS (SELECT inv.* FROM inv JOIN rare USING (shingle)),
@@ -147,13 +149,18 @@ pairs AS (
   FROM inv2 a JOIN inv2 b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
-sized AS (SELECT doc_id, len(sh) AS n_sh FROM s)
-SELECT doc_a, doc_b,
-       round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
-FROM pairs
-JOIN sized sa ON sa.doc_id = doc_a
-JOIN sized sb ON sb.doc_id = doc_b
-WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= {JACCARD_T}"""
+sized AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+jpairs AS (
+  SELECT doc_a, doc_b,
+         round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+  FROM pairs
+  JOIN sized sa ON sa.doc_id = doc_a
+  JOIN sized sb ON sb.doc_id = doc_b
+  WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= {JACCARD_T})"""
+
+
+def sql_dedup_ngram_jaccard() -> str:
+    return f"WITH {sql_jaccard_ctes()}\nSELECT doc_a, doc_b, jaccard FROM jpairs"
 
 
 def _minhash_over_base(base_col):
