@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         components,
         dedup,
         docpipe,
+        ivf,
         multimodal,
         relational,
         similarity,
@@ -102,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
     out.update(components.QUERIES)
+    out.update(ivf.QUERIES)
     out.update(docpipe.QUERIES)
     out.update(textstats.QUERIES)
     out.update(dedup.QUERIES)

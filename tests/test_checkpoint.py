@@ -7,7 +7,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from remediner_spark.operators.ner import GazetteerTagger, extract_triples_stage
+from remediner_spark.operators.ner import extract_triples_stage
 from remediner_spark.operators.text import filter_language
 from remediner_spark.plans.checkpoint import (
     committed_buckets,
@@ -15,7 +15,6 @@ from remediner_spark.plans.checkpoint import (
     run_stage,
     with_bucket,
 )
-from remediner_spark.sources.corpus import drug_lexicon, effect_lexicon
 
 
 @pytest.fixture()

@@ -1,0 +1,38 @@
+"""IVF ANN quality gate: recall@k vs the brute-force baseline."""
+
+from __future__ import annotations
+
+from remediner_spark.operators.ivf import q_sim_topk_ivf
+from remediner_spark.operators.similarity import q_sim_topk_bruteforce
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    exact = q_sim_topk_bruteforce(spark, SF).toPandas()
+    approx = q_sim_topk_ivf(spark, SF).toPandas()
+    exact_sets = exact.groupby("query_id")["neighbor_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = []
+    for q, truth in exact_sets.items():
+        got = approx_sets.get(q, set())
+        recalls.append(len(got & truth) / len(truth))
+    mean_recall = sum(recalls) / len(recalls)
+    # 64-dim random embeddings are a hard case for coarse quantizers;
+    # nprobe=4/16 cells must still recover most true neighbors
+    assert mean_recall >= 0.5, (mean_recall, recalls)
+    # and the candidate set actually shrank (approx != exact everywhere
+    # would suggest a full scan)
+    assert len(approx) <= len(exact)
+
+
+def test_ivf_deterministic(spark):
+    a = q_sim_topk_ivf(spark, SF).toPandas().sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+    b = q_sim_topk_ivf(spark, SF).toPandas().sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)

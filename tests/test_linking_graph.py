@@ -10,16 +10,14 @@ from remediner_spark.operators.graph import (
     build_edges,
     build_edges_unsalted,
     build_graph,
-    build_nodes,
     link_triples,
 )
 from remediner_spark.operators.linking import (
     link_mentions,
     mentions_from_triples,
 )
-from remediner_spark.operators.ner import GazetteerTagger, extract_triples_stage
+from remediner_spark.operators.ner import extract_triples_stage
 from remediner_spark.operators.text import filter_language
-from remediner_spark.sources.corpus import drug_lexicon, effect_lexicon
 
 
 @pytest.fixture(scope="module")

@@ -9,7 +9,6 @@ from pyspark.sql import functions as F
 from remediner_spark.gold import gold_triples
 from remediner_spark.metrics import triple_precision_recall
 from remediner_spark.operators.ner import (
-    GazetteerTagger,
     extract_triples_stage,
     tag_sentences_stage,
     with_inverse_triples,
@@ -20,7 +19,6 @@ from remediner_spark.operators.text import (
     segmented_sentences,
     with_extracted_text,
 )
-from remediner_spark.sources.corpus import drug_lexicon, effect_lexicon
 
 
 @pytest.fixture(scope="module")

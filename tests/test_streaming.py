@@ -7,13 +7,9 @@ import os
 import pandas as pd
 import pytest
 
-from remediner_spark.operators.ner import GazetteerTagger, extract_triples_stage
+from remediner_spark.operators.ner import extract_triples_stage
 from remediner_spark.operators.text import filter_language
-from remediner_spark.sources.corpus import (
-    drug_lexicon,
-    effect_lexicon,
-    generate_pages,
-)
+from remediner_spark.sources.corpus import generate_pages
 from remediner_spark.streaming import stream_triples
 
 
