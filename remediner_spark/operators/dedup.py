@@ -93,21 +93,28 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     inv = docs.select("doc_id", F.explode("sh").alias("shingle"))
-    # doc-frequency cap: drop head shingles before the pair join
-    rare = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= MAX_DF
+    # one aggregation builds each shingle's posting list; the
+    # doc-frequency cap (stop-shingles) and the pair expansion happen
+    # map-side on the aggregated row — no inverted-index self-join.
+    postings = (
+        inv.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= MAX_DF)
+        .filter(F.size("docs") >= 2)
     )
-    inv = inv.join(rare.select("shingle"), "shingle")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda a, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
     pairs = (
-        inv.alias("a")
-        .join(
-            inv.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        postings.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return (
