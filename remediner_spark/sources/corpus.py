@@ -122,6 +122,17 @@ def typo_surface(term: str) -> str:
 
 
 TYPO_FRACTION = 0.08
+MULTI_PAIR_FRACTION = 0.06
+
+# two relation pairs in ONE sentence: drug/effect first-occurrence
+# order is d1,d2 / e1,e2 so the reference's positional relation-group
+# pairing yields (d1,e1) and (d2,e2) — matching the two gold rows.
+_MULTI_TEMPLATES = [
+    "Both {d1} and {d2} were administered; {d1} caused {e1} "
+    "while {d2} produced {e2}.",
+    "After starting {d1} and later {d2}, the patient developed {e1} "
+    "and subsequently {e2}.",
+]
 
 
 def generate_annotations(n_pages: int, rng: np.random.RandomState) -> pd.DataFrame:
@@ -135,6 +146,20 @@ def generate_annotations(n_pages: int, rng: np.random.RandomState) -> pd.DataFra
         url = f"https://example.org/doc/{page_i:08d}"
         n_sents = 1 + rng.randint(0, 4)
         for sent_idx in range(n_sents):
+            if rng.rand() < MULTI_PAIR_FRACTION:
+                # two-relation sentence -> two annotation rows sharing
+                # (url, sent_idx); entities all distinct
+                i1, i2 = rng.choice(len(drugs), size=2, replace=False)
+                j1, j2 = rng.choice(len(effects), size=2, replace=False)
+                d1, d2 = drugs[i1], drugs[i2]
+                e1, e2 = effects[j1], effects[j2]
+                template = _MULTI_TEMPLATES[
+                    rng.randint(0, len(_MULTI_TEMPLATES))
+                ]
+                text = template.format(d1=d1, d2=d2, e1=e1, e2=e2)
+                rows.append((url, sent_idx, text, d1, e1))
+                rows.append((url, sent_idx, text, d2, e2))
+                continue
             drug = drugs[rng.choice(len(drugs), p=d_probs)]
             # a slice of mentions carries crawl noise: the typo'd
             # surface appears in BOTH the text and the gold mention

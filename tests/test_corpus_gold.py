@@ -40,16 +40,24 @@ def test_segmentation_recovers_annotation_sentences():
     pages, ann = generate_pages(150)
     sents = split_sentences(pages.set_index("url")["text"])
     for url, grp in ann.groupby("url"):
-        expected = grp.sort_values("sent_idx")["text"].tolist()
+        expected = (
+            grp.drop_duplicates(["url", "sent_idx"])
+            .sort_values("sent_idx")["text"]
+            .tolist()
+        )
         assert sents[url] == expected
 
 
 def test_gold_triples_cover_annotations():
     _, ann = generate_pages(150)
     gold = gold_triples(ann)
-    # every annotation row should yield exactly one CAUSES triple
-    assert len(gold) == len(ann.drop_duplicates(["url", "sent_idx"]))
+    # every annotation row yields exactly one CAUSES triple (multi-pair
+    # sentences have one row per relation)
+    assert len(gold) == len(ann)
     assert (gold["pred"] == "CAUSES").all()
+    # the multi-pair slice exists
+    per_sent = ann.groupby(["url", "sent_idx"]).size()
+    assert (per_sent > 1).any()
     # subjects/objects are normalized lowercase lexicon surfaces, plus
     # the deterministic typo class (crawl-noise slice)
     from remediner_spark.sources.corpus import typo_surface

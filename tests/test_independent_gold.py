@@ -35,9 +35,10 @@ def _ref_normalize(s: pd.Series) -> pd.Series:
 
 
 def independent_gold(ann: pd.DataFrame) -> pd.DataFrame:
-    """One CAUSES triple per annotated sentence, surfaces normalized by
-    the reference chain and lowercased — no engine kernels involved."""
-    out = ann.drop_duplicates(["url", "sent_idx"]).copy()
+    """One CAUSES triple per annotation ROW (multi-pair sentences carry
+    several rows), surfaces normalized by the reference chain and
+    lowercased — no engine kernels involved."""
+    out = ann.copy()
     out["subj"] = _ref_normalize(out["drug"]).str.strip().str.lower()
     out["obj"] = _ref_normalize(out["effect"]).str.strip().str.lower()
     out["pred"] = "CAUSES"
