@@ -50,11 +50,15 @@ def _ensure_corpus(spark, sf_name: str) -> tuple[str, int]:
     base_n = _BASE_PAGES.get(sf_name, 100_000)
     tile = int(os.environ.get("SPARK_GRAFT_TILE", _TILE.get(sf_name, 10)))
     n_pages = base_n * tile
-    # prefer tmpfs: the bench measures compute, not disk variance
+    from remediner_spark.sources.corpus import CORPUS_VERSION
+
+    # prefer tmpfs: the bench measures compute, not disk variance;
+    # cache key includes the generator version so stale corpora from
+    # older code are never reused
     base_dir = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     corpus_dir = os.environ.get(
         "SPARK_GRAFT_CORPUS_DIR",
-        f"{base_dir}/remediner_bench_corpus_{n_pages}",
+        f"{base_dir}/remediner_bench_corpus_v{CORPUS_VERSION}_{n_pages}",
     )
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
         from pyspark.sql import functions as F
@@ -103,7 +107,8 @@ def main() -> int:
 
     kg_run()  # warmup: spawn workers, JIT, warm the page cache
     kg_sec = float("inf")
-    for _ in range(2):  # min-of-2: steady-state wall, not scheduler luck
+    timed_runs = int(os.environ.get("SPARK_GRAFT_TIMED_RUNS", "2"))
+    for _ in range(timed_runs):  # min-of-k: steady state, not scheduler luck
         t0 = time.time()
         n_triples = kg_run()
         kg_sec = min(kg_sec, time.time() - t0)

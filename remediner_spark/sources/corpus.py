@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 
 SEED = 42
+# bump when generated content changes (bench corpus caches key on it)
+CORPUS_VERSION = 2
 
 # ~50 synthetic drug terms (1-3 words), ~80 synthetic effect terms.
 _DRUG_STEMS = [

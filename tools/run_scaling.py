@@ -28,6 +28,7 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_TILE=SCALING_TILE,
         SPARK_GRAFT_KG_ONLY="1",
+        SPARK_GRAFT_TIMED_RUNS="3",
     )
     cmd = [
         "taskset", "-c", f"0-{cores - 1}",
