@@ -255,6 +255,33 @@ SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
 WHERE rank <= 3"""
 
 
+def q_window_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (the batch shape of the streaming
+    windowed aggregation in streaming.py): events per type per hour."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_WINDOW_TUMBLING = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
 QUERIES = {
     "r1_project_drop": q_r1_project_drop,
     "r2_distinct": q_r2_distinct,
@@ -268,6 +295,7 @@ QUERIES = {
     "join_semi_anti": q_join_semi_anti,
     "agg_two_phase": q_agg_two_phase,
     "window_topk": q_window_topk,
+    "window_tumbling_agg": q_window_tumbling_agg,
 }
 
 ORACLES = {
@@ -283,4 +311,5 @@ ORACLES = {
     "join_semi_anti": SQL_JOIN_SEMI_ANTI,
     "agg_two_phase": SQL_AGG_TWO_PHASE,
     "window_topk": SQL_WINDOW_TOPK,
+    "window_tumbling_agg": SQL_WINDOW_TUMBLING,
 }

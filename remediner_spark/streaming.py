@@ -32,6 +32,42 @@ def stream_pages(
     )
 
 
+def stream_windowed_triple_counts(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    tagger_bc,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    lang: str = "en",
+):
+    """Stateful streaming: triples per predicate per event-time window.
+
+    Watermarked on `warc_ts` (crawl time) so late-arriving pages update
+    open windows until the watermark passes, then state is dropped —
+    the standard late-data contract. `update` mode emits changed
+    windows per micro-batch; the parquet-compatible sink here is the
+    append-on-close variant, so output lands once a window finalizes.
+    """
+    pages = stream_pages(spark, pages_dir).filter(F.col("lang") == lang)
+    triples = extract_triples_stage(pages, tagger_bc)
+    counts = (
+        triples.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), F.col("pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "pred", "n")
+    )
+    return (
+        counts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_triples(
     spark: SparkSession,
     pages_dir: str,
