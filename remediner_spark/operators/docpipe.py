@@ -190,7 +190,7 @@ def q_s2_entity_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(t).alias("term"),
-                F.locate(t, F.col("text")).alias("start_pos"),
+                F.locate(t, F.col("text")).cast("long").alias("start_pos"),
             )
             for t in terms
         ]
@@ -200,7 +200,8 @@ def q_s2_entity_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "o.term", "o.start_pos")
         .filter(F.col("start_pos") > 0)
         .withColumn(
-            "end_pos", F.col("start_pos") + F.length(F.col("term")) - 1
+            "end_pos",
+            (F.col("start_pos") + F.length(F.col("term")) - 1).cast("long"),
         )
     )
 
@@ -223,7 +224,7 @@ def q_kg_top_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weight").desc(), F.col("obj")
     )
     return (
-        edges.withColumn("rank", F.row_number().over(w))
+        edges.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("subj", "rank", "obj", "weight")
     )

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DECODE_SCHEMA = (
-    "doc_id long, n_bytes int, width int, height int, channels int, "
+    "doc_id long, n_bytes long, width long, height long, channels long, "
     "checksum long"
 )
 
@@ -81,7 +81,7 @@ SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
        (octet_length(encode(text)) % 640) + 1 AS width,
        (octet_length(encode(text)) % 480) + 1 AS height,
-       3 AS channels
+       CAST(3 AS BIGINT) AS channels
 FROM documents"""
 
 

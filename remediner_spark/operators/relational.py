@@ -240,7 +240,7 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        orders.withColumn("rank", F.row_number().over(w))
+        orders.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
     )

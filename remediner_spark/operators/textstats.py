@@ -97,8 +97,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
     return docs.select(
         "doc_id",
-        F.length("text").alias("n_chars_text"),
-        n_words.alias("n_words"),
+        F.length("text").cast("long").alias("n_chars_text"),
+        n_words.cast("long").alias("n_words"),
         F.round(n_stop / n_words, 6).alias("stopword_ratio"),
         F.round(n_alpha / F.greatest(F.length("text"), F.lit(1)), 6).alias(
             "alpha_ratio"
@@ -124,10 +124,10 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
         F.size(
             F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")
-        ).alias("bpe_tokens"),
+        ).cast("long").alias("bpe_tokens"),
     )
 
 
