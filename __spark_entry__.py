@@ -14,9 +14,57 @@ oracle_sql()  — matching DuckDB SQL for every SQL-expressible operator;
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# make remediner_spark importable regardless of the caller's cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executor Python workers via addPyFile.
+
+    Driver-side sys.path does not reach executor workers: when the
+    caller's cwd isn't the repo, mapInPandas closures referencing
+    remediner_spark fail to unpickle on workers. addPyFile on the live
+    SparkContext fixes that session-locally (the spark-submit path uses
+    --py-files instead; see tools/package.sh)."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(
+        tempfile.gettempdir(), "remediner_spark_entry_auto.zip"
+    )
+    pkg = os.path.join(_REPO, "remediner_spark")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for name in files:
+                if name.endswith(".py"):
+                    full = os.path.join(root, name)
+                    zf.write(full, os.path.relpath(full, _REPO))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(key)
+
+
+def _wrap(fn: Callable) -> Callable:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -24,6 +72,7 @@ def entry(spark: SparkSession) -> DataFrame:
     relation pairing -> CAUSES triples, over sf0.001 documents."""
     from remediner_spark.operators.docpipe import q_m6_triples_docs
 
+    _ensure_shipped(spark)
     return q_m6_triples_docs(spark, "/root/testdata/sf0.001")
 
 
@@ -110,7 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(similarity.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(_kg_corpus_queries())
-    return out
+    # every callable ships the package to executors first (cwd-proof)
+    return {name: _wrap(fn) for name, fn in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -245,12 +245,49 @@ ranked AS (
 SELECT subj, rank, obj, weight FROM ranked WHERE rank <= 3"""
 
 
+def q_kg_cooccurring_drugs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop graph query: drug pairs sharing an adverse effect, scored
+    by min(edge weight) — 'which drugs co-report effect X?'. The
+    relational shape of multi-hop KG traversal (edge self-join on the
+    shared node)."""
+    edges = q_m9_edges_docs(spark, sf_dir)
+    return (
+        edges.alias("a")
+        .join(
+            edges.alias("b"),
+            (F.col("a.obj") == F.col("b.obj"))
+            & (F.col("a.subj") < F.col("b.subj")),
+        )
+        .select(
+            F.col("a.subj").alias("drug_a"),
+            F.col("b.subj").alias("drug_b"),
+            F.col("a.obj").alias("shared_effect"),
+            F.least(F.col("a.weight"), F.col("b.weight")).alias("support"),
+        )
+    )
+
+
+SQL_KG_COOCCUR = f"""
+WITH {_sql_mention_ranks()},
+triples AS (
+  SELECT d_rank.doc_id, d_rank.surface AS subj, e_rank.surface AS obj
+  FROM d_rank JOIN e_rank
+    ON d_rank.doc_id = e_rank.doc_id AND d_rank.rnk = e_rank.rnk),
+edges AS (
+  SELECT subj, obj, count(*) AS weight FROM triples GROUP BY subj, obj)
+SELECT a.subj AS drug_a, b.subj AS drug_b, a.obj AS shared_effect,
+       least(a.weight, b.weight) AS support
+FROM edges a JOIN edges b
+  ON a.obj = b.obj AND a.subj < b.subj"""
+
+
 QUERIES = {
     "s2_entity_offsets": q_s2_entity_offsets,
     "m1_gazetteer_ner": q_m1_gazetteer_counts,
     "m6_triple_assembly": q_m6_triples_docs,
     "m9_edge_agg_salted": q_m9_edges_docs,
     "kg_top_effects_per_drug": q_kg_top_effects,
+    "kg_cooccurring_drugs": q_kg_cooccurring_drugs,
 }
 
 ORACLES = {
@@ -259,4 +296,5 @@ ORACLES = {
     "m6_triple_assembly": SQL_M6,
     "m9_edge_agg_salted": SQL_M9,
     "kg_top_effects_per_drug": SQL_KG_TOP,
+    "kg_cooccurring_drugs": SQL_KG_COOCCUR,
 }
