@@ -29,6 +29,13 @@ def main(argv: list[str] | None = None) -> int:
         help="also score triples against the pandas gold (needs "
         "ade_annotations.parquet in --corpus-dir)",
     )
+    ap.add_argument(
+        "--graph",
+        action="store_true",
+        help="run the full checkpointed pipeline (linking + "
+        "canonicalization + node/edge Iceberg-style tables) instead of "
+        "triples only",
+    )
     args = ap.parse_args(argv)
 
     from remediner_spark.operators.ner import (
@@ -42,6 +49,15 @@ def main(argv: list[str] | None = None) -> int:
     from remediner_spark.session import get_spark
 
     spark = get_spark(app_name="remediner-job", cores=args.cores)
+    if args.graph:
+        from remediner_spark.plans.pipeline import run_pipeline
+
+        t0 = time.time()
+        metrics = run_pipeline(spark, args.corpus_dir, args.out)
+        metrics["elapsed_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(metrics))
+        spark.stop()
+        return 0
     t0 = time.time()
     pages = spark.read.parquet(f"{args.corpus_dir}/pages.parquet")
     # cache the filtered slice: it feeds three actions (invariant check,
