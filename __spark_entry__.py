@@ -110,7 +110,8 @@ def _kg_corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         pages, dictionary = _corpus(spark)
-        triples = kg_triples(spark, sf_dir)
+        # cache: mentions_from_triples branches the extraction twice
+        triples = kg_triples(spark, sf_dir).cache()
         return link_mentions(mentions_from_triples(triples), dictionary)
 
     def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -131,11 +131,20 @@ def build_graph(
     dictionary: DataFrame,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
 ) -> tuple[DataFrame, DataFrame]:
-    """Full M7->M9 path: triples + dictionary -> (nodes, edges)."""
+    """Full M7->M9 path: triples + dictionary -> (nodes, edges).
+
+    The plan branches off `triples` (subj mentions, obj mentions, the
+    id join) and off `linked` (nodes, surface map): without
+    materialization the upstream extraction stage would re-execute per
+    branch (measured 5x wall). Both are cached here; in the production
+    pipeline the triples input is already a checkpointed parquet
+    (plans/pipeline.py), which serves the same purpose durably.
+    """
     from .linking import link_mentions, mentions_from_triples
 
+    triples = triples.cache()
     mentions = mentions_from_triples(triples)
-    linked = link_mentions(mentions, dictionary)
+    linked = link_mentions(mentions, dictionary).cache()
     nodes = build_nodes(linked, salt_buckets)
     with_ids = link_triples(triples, linked)
     edges = build_edges(with_ids, salt_buckets)
