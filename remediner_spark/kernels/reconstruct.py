@@ -16,6 +16,25 @@ The reference discards the surfaces it masks; the KG needs them, so
 alongside the masked text we emit the mention list
 (surface, type, word_start) harvested from the same contiguous runs —
 that is the engine-side extension (SURVEY.md M3/M6).
+
+Two deliberate deviations from the reference, both text-sink artifacts
+that would corrupt the KG if ported:
+
+* final_model.py:115 appends the pending token unconditionally, so a
+  sentence-final multi-subtoken entity emits its mask TWICE
+  ("... caused DRUG DRUG"); the engine emits one mask per run
+  everywhere (the duplicate would fabricate a second mention).
+* a masked subtoken replaced by the literal mask loses its "##" prefix
+  in the reference, so a word with mixed O/masked subtokens splits
+  into two output words; the engine resolves word class as
+  any-masked-subtoken-wins. Irrelevant for word-coherent labelings
+  (our taggers label whole words, then propagate), which is the
+  equivalence domain pinned by tests/test_reconstruct_differential.py.
+* the de_append latch only resets when a NON-mask word is appended
+  (final_model.py:95-106), so a mask immediately following a
+  different-type mask is dropped entirely ("DRUG EFFECT" -> "DRUG"),
+  silently losing the adjacent mention; the engine emits one mask per
+  contiguous same-class run and keeps both mentions.
 """
 
 from __future__ import annotations
