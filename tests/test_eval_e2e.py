@@ -12,7 +12,6 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F
 
-from remediner_spark.gold import gold_triples  # noqa: F401 (corpus warm)
 from remediner_spark.kernels.iob import LABEL_ID, iob_tag_text
 from remediner_spark.kernels.loss import plot_confusion
 from remediner_spark.kernels.normalize import normalize_annotated_frame
