@@ -76,68 +76,6 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_m6_triples_docs(spark, "/root/testdata/sf0.001")
 
 
-def _kg_corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """End-to-end KG pipeline entries over the seeded synthetic medical
-    corpus (FIXTURES.md). These ignore sf_dir (the corpus is generated,
-    deterministic, seed=42) and are rows-only: their correctness gate is
-    the pytest triple-parity suite (P/R vs the pandas gold port)."""
-
-    def _corpus(spark: SparkSession, n_pages: int = 400):
-        from remediner_spark.sources.corpus import (
-            generate_entity_dictionary,
-            generate_pages,
-        )
-
-        pages_pdf, _ = generate_pages(n_pages)
-        pages = spark.createDataFrame(pages_pdf)
-        dictionary = spark.createDataFrame(generate_entity_dictionary())
-        return pages, dictionary
-
-    def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from remediner_spark.operators.ner import extract_triples_stage
-        from remediner_spark.operators.text import filter_language
-        from remediner_spark.plans.pipeline import default_tagger_bc
-
-        pages, _ = _corpus(spark)
-        return extract_triples_stage(
-            filter_language(pages), default_tagger_bc(spark)
-        )
-
-    def kg_linked_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from remediner_spark.operators.linking import (
-            link_mentions,
-            mentions_from_triples,
-        )
-
-        pages, dictionary = _corpus(spark)
-        # cache: mentions_from_triples branches the extraction twice
-        triples = kg_triples(spark, sf_dir).cache()
-        return link_mentions(mentions_from_triples(triples), dictionary)
-
-    def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from remediner_spark.operators.graph import build_graph
-
-        pages, dictionary = _corpus(spark)
-        triples = kg_triples(spark, sf_dir)
-        nodes, _ = build_graph(triples, dictionary)
-        return nodes
-
-    def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from remediner_spark.operators.graph import build_graph
-
-        pages, dictionary = _corpus(spark)
-        triples = kg_triples(spark, sf_dir)
-        _, edges = build_graph(triples, dictionary)
-        return edges
-
-    return {
-        "kg_pipeline_triples": kg_triples,
-        "kg_linked_mentions": kg_linked_mentions,
-        "kg_nodes": kg_nodes,
-        "kg_edges": kg_edges,
-    }
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from remediner_spark.operators import (
         components,
@@ -149,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity,
         textstats,
     )
+    from remediner_spark.plans import kg_gate
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
@@ -159,7 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(multimodal.QUERIES)
-    out.update(_kg_corpus_queries())
+    out.update(kg_gate.QUERIES)
     # every callable ships the package to executors first (cwd-proof)
     return {name: _wrap(fn) for name, fn in out.items()}
 
@@ -174,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         similarity,
         textstats,
     )
+    from remediner_spark.plans import kg_gate
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
@@ -183,7 +123,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(multimodal.ORACLES)
-    # kg_* corpus entries: rows-only (no oracle) by design — the medical
-    # corpus is not a pre-registered DuckDB view; parity is enforced by
-    # tests/test_pipeline_spark.py against the pandas gold.
+    # end-to-end KG pipeline over the materialized corpus fixture: the
+    # oracle reads the pandas-gold triples parquet and re-derives
+    # linking/nodes/edges relationally in DuckDB (plans/kg_gate.py)
+    out.update(kg_gate.oracles())
     return out

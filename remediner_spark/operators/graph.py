@@ -17,8 +17,10 @@ Output schemas (FIXTURES.md §4):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .textstats import md5_hash32_expr
 
 DEFAULT_SALT_BUCKETS = 16
 SAMPLE_URLS = 5
@@ -29,25 +31,46 @@ def _salt(buckets: int):
     return F.pmod(F.crc32(F.col("url")), F.lit(buckets)).alias("_salt")
 
 
-def build_nodes(
-    linked_mentions: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS
-) -> DataFrame:
-    """linked mentions -> nodes, salted two-phase count.
+def synthetic_entity_id(surface_norm: Column, entity_type: Column) -> Column:
+    """Stable negative id for unlinked mentions. md5-prefix based (not
+    xxhash64) so DuckDB oracles and pandas gold reproduce it bit-for-bit
+    (textstats.md5_hash32_expr); +1 keeps it disjoint from 0 and from
+    the positive canonical-id space."""
+    return -(
+        md5_hash32_expr(F.concat(surface_norm, F.lit("|"), entity_type)) + 1
+    )
+
+
+def synthetic_entity_id_sql(surface_norm: str, entity_type: str) -> str:
+    """DuckDB rendering of synthetic_entity_id (same md5-prefix hash)."""
+    return (
+        f"-(CAST(('0x' || substring(md5({surface_norm} || '|' || "
+        f"{entity_type}), 1, 8)) AS BIGINT) + 1)"
+    )
+
+
+def with_entity_ids(linked_mentions: DataFrame) -> DataFrame:
+    """linked mentions + (entity_id, node_name).
 
     Unlinked mentions (no canonical_id) get a stable negative synthetic
     id from their normalized surface so the graph stays connected.
     """
-    m = linked_mentions.withColumn(
+    return linked_mentions.withColumn(
         "entity_id",
         F.coalesce(
             F.col("canonical_id"),
-            (-F.abs(F.xxhash64(F.col("surface_norm"), F.col("entity_type")))).cast(
-                "long"
-            ),
+            synthetic_entity_id(F.col("surface_norm"), F.col("entity_type")),
         ),
     ).withColumn(
         "node_name", F.coalesce(F.col("canonical_name"), F.col("surface_norm"))
     )
+
+
+def build_nodes(
+    linked_mentions: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS
+) -> DataFrame:
+    """linked mentions -> nodes, salted two-phase count."""
+    m = with_entity_ids(linked_mentions)
     partial = m.withColumn("_salt", _salt(salt_buckets)).groupBy(
         "entity_id", "_salt"
     ).agg(
@@ -105,9 +128,7 @@ def link_triples(triples: DataFrame, linked_mentions: DataFrame) -> DataFrame:
             "entity_id",
             F.coalesce(
                 F.col("canonical_id"),
-                (
-                    -F.abs(F.xxhash64(F.col("surface_norm"), F.col("entity_type")))
-                ).cast("long"),
+                synthetic_entity_id(F.col("surface_norm"), F.col("entity_type")),
             ),
         )
         .select("surface_norm", "entity_type", "entity_id")

@@ -25,9 +25,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# LSH parameters: K = B * R minhashes. With R=4, B=8: pairs with
-# Jaccard s collide with prob 1-(1-s^4)^8 (~0.97 at s=0.7, ~0.19 at
-# s=0.3) — tuned for typo-distance aliases.
+# LSH parameters: K = B * R minhashes. With R=3, B=8: pairs with
+# Jaccard s collide with prob 1-(1-s^3)^8 (~0.97 at s=0.7, ~0.89 at
+# s=0.625 = the one-char-insert typo class, ~0.06 at s=0.2) — tuned
+# for typo-distance aliases with low false-candidate volume.
 _MERSENNE = (1 << 31) - 1
 _HASH_A = [2654435761, 2246822519, 3266489917, 668265263, 374761393,
            2654435789, 2246822591, 3266489989, 668265341, 374761471,
@@ -54,12 +55,16 @@ def char_shingles(col: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, k: int) -> list[Column]:
-    """k min-hash values over the shingle set (crc32-based LCG family)."""
+    """k min-hash values over the shingle set (md5-prefix LCG family —
+    the cross-engine base hash, so DuckDB oracles reproduce the banding
+    bit-for-bit; see textstats.md5_hash32_expr)."""
+    from .textstats import md5_hash32_expr
+
     def hash_fn(a: int, b: int):
-        # reduce crc mod p before multiplying: keeps a*x < 2^63 (ANSI
-        # mode makes long overflow a hard error in Spark 4)
+        # reduce the base hash mod p before multiplying: keeps a*x <
+        # 2^63 (ANSI mode makes long overflow a hard error in Spark 4)
         return lambda s: (
-            (F.crc32(F.encode(s, "utf-8")) % _MERSENNE) * a + b
+            (md5_hash32_expr(s) % _MERSENNE) * a + b
         ) % _MERSENNE
 
     sigs = []
@@ -104,7 +109,7 @@ def link_mentions(
     dictionary: DataFrame,
     jaccard_threshold: float = 0.5,
     bands: int = 8,
-    rows: int = 4,
+    rows: int = 3,
 ) -> DataFrame:
     """mentions(surface, entity_type, ...) -> + (canonical_id,
     canonical_name, link_method in {dict, lsh, unlinked}).

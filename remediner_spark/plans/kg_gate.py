@@ -1,0 +1,270 @@
+"""Driver-gate entries for the end-to-end KG pipeline, with real
+DuckDB oracles.
+
+The Spark side runs the actual engine path over the materialized
+corpus fixture (sources/kg_fixture.py): fused extraction ->
+dict+MinHash-LSH linking -> salted canonicalization -> node/edge aggs.
+
+The oracle side recomputes the SAME values relationally in DuckDB:
+
+* ``kg_pipeline_triples`` — the pandas gold (annotation-span IOB path,
+  an independent derivation from the engine's gazetteer text-matching)
+  read from parquet. The normalization/IOB kernels are declaredly
+  non-SQL-expressible (Python-re lookarounds), so the gold file is the
+  anchor; everything downstream is derived relationally from it.
+* ``kg_linked_mentions`` — exact dictionary join + the banded
+  MinHash-LSH residual linker re-expressed in DuckDB SQL over the same
+  md5-prefix hash family (same deterministic arithmetic both engines,
+  the repo's standard oracle discipline — see dedup.sql_dedup_minhash).
+  LSH *recall* versus an exhaustive all-pairs Jaccard linker is gated
+  separately in tests/test_linking_graph.py.
+* ``kg_nodes`` / ``kg_edges`` — canonical-id aggregation over the
+  linked mentions / linked triples, with the same md5-prefix synthetic
+  id for unlinked surfaces (operators/graph.py:synthetic_entity_id).
+
+Gate projections: array-valued columns (edges.sample_urls) and
+nullable canonical ids are projected away or coalesced here — the gate
+canonicalizer sorts values and cannot hash lists; the full-width
+tables remain what build_graph/run_pipeline write to the real sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import synthetic_entity_id_sql
+from ..operators.linking import _HASH_A, _HASH_B, _MERSENNE
+from ..operators.textstats import md5_hash32_sql
+
+# must equal operators.linking.link_mentions defaults
+JACCARD_T = 0.5
+LSH_BANDS = 8
+LSH_ROWS = 3
+
+
+# ---------------------------------------------------------------- Spark side
+
+
+def _fixture_dir() -> str:
+    from ..sources.kg_fixture import ensure_kg_fixture
+
+    return ensure_kg_fixture()
+
+
+def _pages_and_dict(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    d = _fixture_dir()
+    return (
+        spark.read.parquet(f"{d}/pages.parquet"),
+        spark.read.parquet(f"{d}/entity_dictionary.parquet"),
+    )
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ner import extract_triples_stage
+    from ..operators.text import filter_language
+    from .pipeline import default_tagger_bc
+
+    pages, _ = _pages_and_dict(spark)
+    return extract_triples_stage(
+        filter_language(pages), default_tagger_bc(spark)
+    )
+
+
+def _linked(spark: SparkSession) -> DataFrame:
+    from ..operators.graph import with_entity_ids
+    from ..operators.linking import link_mentions, mentions_from_triples
+
+    _, dictionary = _pages_and_dict(spark)
+    # cache: mentions_from_triples branches the extraction stage twice
+    triples = q_kg_triples(spark, "").cache()
+    return with_entity_ids(
+        link_mentions(mentions_from_triples(triples), dictionary)
+    )
+
+
+def q_kg_linked_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _linked(spark).select(
+        "url",
+        "warc_ts",
+        "sent_idx",
+        "surface_norm",
+        "entity_type",
+        "entity_id",
+        "node_name",
+        "link_method",
+    )
+
+
+def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import build_graph
+
+    _, dictionary = _pages_and_dict(spark)
+    nodes, _ = build_graph(q_kg_triples(spark, ""), dictionary)
+    return nodes
+
+
+def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import build_graph
+
+    _, dictionary = _pages_and_dict(spark)
+    _, edges = build_graph(q_kg_triples(spark, ""), dictionary)
+    # gate view: sample_urls is an array whose content depends on
+    # partial-aggregation arrival order (bounded sample, not a value) —
+    # deterministic columns only here; the sink keeps the full table
+    return edges.select("subj_id", "pred", "obj_id", "weight", "first_seen")
+
+
+QUERIES = {
+    "kg_pipeline_triples": q_kg_triples,
+    "kg_linked_mentions": q_kg_linked_mentions,
+    "kg_nodes": q_kg_nodes,
+    "kg_edges": q_kg_edges,
+}
+
+
+# --------------------------------------------------------------- oracle side
+
+
+def _shingle_sql(col: str) -> str:
+    """char-3 shingles of '^'+s+'$' — mirrors linking.char_shingles."""
+    p = f"('^' || {col} || '$')"
+    return (
+        f"list_distinct(list_transform("
+        f"range(0, greatest(length({p}) - 3, 0) + 1), "
+        f"i -> substring({p}, i + 1, 3)))"
+    )
+
+
+def _mh_cols_sql() -> str:
+    """The K = bands*rows min-hash columns over an ``sh`` shingle list —
+    mirrors linking.minhash_signature (md5-prefix LCG family)."""
+    h = md5_hash32_sql("s")
+    return ", ".join(
+        f"list_aggregate(list_transform(sh, s -> "
+        f"(({h}) % {_MERSENNE} * {_HASH_A[i]} + {_HASH_B[i]}) "
+        f"% {_MERSENNE}), 'min') AS mh_{i}"
+        for i in range(LSH_BANDS * LSH_ROWS)
+    )
+
+
+def _band_rows_sql(src: str, carry_cols: str) -> str:
+    """One row per (row, band) with the concat band key — mirrors
+    linking.band_keys."""
+    return " UNION ALL ".join(
+        f"SELECT {carry_cols}, {b} AS band_idx, "
+        + " || ':' || ".join(
+            f"CAST(mh_{b * LSH_ROWS + r} AS VARCHAR)"
+            for r in range(LSH_ROWS)
+        )
+        + f" AS band_key FROM {src}"
+        for b in range(LSH_BANDS)
+    )
+
+
+def _linked_ctes(d: str) -> str:
+    """CTE chain ending in ids(url, warc_ts, sent_idx, surface,
+    entity_type, surface_norm, canonical_id, canonical_name,
+    link_method, entity_id, node_name)."""
+    syn = synthetic_entity_id_sql("surface_norm", "entity_type")
+    return f"""
+g AS (SELECT * FROM read_parquet('{d}/gold_triples.parquet')),
+dict AS (
+  SELECT lower(trim(alias)) AS alias_norm, canonical_id, canonical_name,
+         entity_type
+  FROM read_parquet('{d}/entity_dictionary.parquet')),
+mentions AS (
+  SELECT url, warc_ts, sent_idx, subj AS surface, 'DRUG' AS entity_type
+  FROM g WHERE pred = 'CAUSES'
+  UNION ALL
+  SELECT url, warc_ts, sent_idx, obj AS surface, 'EFFECT' AS entity_type
+  FROM g WHERE pred = 'CAUSES'),
+m AS (SELECT *, lower(trim(surface)) AS surface_norm FROM mentions),
+exact AS (
+  SELECT m.url, m.warc_ts, m.sent_idx, m.surface, m.entity_type,
+         m.surface_norm, dict.canonical_id, dict.canonical_name
+  FROM m LEFT JOIN dict
+    ON m.surface_norm = dict.alias_norm
+   AND m.entity_type = dict.entity_type),
+residual_surf AS (
+  SELECT DISTINCT surface_norm, entity_type
+  FROM exact WHERE canonical_id IS NULL),
+rs AS (SELECT surface_norm, entity_type,
+              {_shingle_sql("surface_norm")} AS sh
+       FROM residual_surf),
+rsig AS (SELECT surface_norm, entity_type, sh, {_mh_cols_sql()} FROM rs),
+rbands AS ({_band_rows_sql("rsig", "surface_norm, entity_type, sh")}),
+da AS (SELECT alias_norm, entity_type, canonical_id, canonical_name,
+              {_shingle_sql("alias_norm")} AS sh
+       FROM (SELECT DISTINCT alias_norm, entity_type, canonical_id,
+                    canonical_name FROM dict)),
+dsig AS (SELECT alias_norm, entity_type, canonical_id, canonical_name,
+                sh, {_mh_cols_sql()} FROM da),
+dbands AS ({_band_rows_sql(
+    "dsig", "alias_norm, entity_type, canonical_id, canonical_name, sh")}),
+cand AS (
+  SELECT DISTINCT r.surface_norm, r.entity_type, a.alias_norm,
+         a.canonical_id, a.canonical_name,
+         len(list_intersect(r.sh, a.sh)) * 1.0 /
+           len(list_distinct(list_concat(r.sh, a.sh))) AS jaccard
+  FROM rbands r JOIN dbands a
+    ON r.band_idx = a.band_idx AND r.band_key = a.band_key
+   AND r.entity_type = a.entity_type),
+best AS (
+  SELECT surface_norm, entity_type, canonical_id, canonical_name
+  FROM (SELECT *, row_number() OVER (
+            PARTITION BY surface_norm, entity_type
+            ORDER BY jaccard DESC, alias_norm) AS rnk
+        FROM cand WHERE jaccard >= {JACCARD_T})
+  WHERE rnk = 1),
+linked AS (
+  SELECT url, warc_ts, sent_idx, surface, entity_type, surface_norm,
+         canonical_id, canonical_name, 'dict' AS link_method
+  FROM exact WHERE canonical_id IS NOT NULL
+  UNION ALL
+  SELECT e.url, e.warc_ts, e.sent_idx, e.surface, e.entity_type,
+         e.surface_norm, b.canonical_id, b.canonical_name,
+         CASE WHEN b.canonical_id IS NOT NULL THEN 'lsh'
+              ELSE 'unlinked' END AS link_method
+  FROM (SELECT url, warc_ts, sent_idx, surface, entity_type, surface_norm
+        FROM exact WHERE canonical_id IS NULL) e
+  LEFT JOIN best b
+    ON e.surface_norm = b.surface_norm
+   AND e.entity_type = b.entity_type),
+ids AS (
+  SELECT *, COALESCE(canonical_id, {syn}) AS entity_id,
+         COALESCE(canonical_name, surface_norm) AS node_name
+  FROM linked)"""
+
+
+def oracles() -> dict[str, str]:
+    d = _fixture_dir()
+    ctes = _linked_ctes(d)
+    return {
+        "kg_pipeline_triples": (
+            f"SELECT url, warc_ts, sent_idx, subj, pred, obj "
+            f"FROM read_parquet('{d}/gold_triples.parquet')"
+        ),
+        "kg_linked_mentions": f"""
+WITH {ctes}
+SELECT url, warc_ts, sent_idx, surface_norm, entity_type, entity_id,
+       node_name, link_method
+FROM ids""",
+        "kg_nodes": f"""
+WITH {ctes}
+SELECT entity_id, min(node_name) AS canonical_name,
+       min(entity_type) AS entity_type, count(*) AS n_mentions
+FROM ids GROUP BY entity_id""",
+        "kg_edges": f"""
+WITH {ctes},
+surf_map AS (SELECT DISTINCT surface_norm, entity_type, entity_id FROM ids)
+SELECT dm.entity_id AS subj_id, g.pred, em.entity_id AS obj_id,
+       count(*) AS weight, min(g.warc_ts) AS first_seen
+FROM g
+JOIN surf_map dm
+  ON dm.surface_norm = g.subj AND dm.entity_type = 'DRUG'
+JOIN surf_map em
+  ON em.surface_norm = g.obj AND em.entity_type = 'EFFECT'
+WHERE g.pred = 'CAUSES'
+GROUP BY 1, 2, 3""",
+    }

@@ -1,0 +1,69 @@
+"""Materialized KG-corpus fixture for the driver's DuckDB oracle gate.
+
+The synthetic medical corpus (sources/corpus.py) is generated, not one
+of the driver's pre-registered parquet views — so the end-to-end KG
+queries (kg_pipeline_triples / kg_linked_mentions / kg_nodes /
+kg_edges) need their input tables *and* the independent pandas gold
+written to stable parquet paths that the oracle SQL can read via
+``read_parquet('<abs path>')``.
+
+What gets materialized (deterministic, seed-pinned, idempotent):
+
+* ``pages.parquet`` / ``entity_dictionary.parquet`` — the corpus input
+  tables (same frames the generated-in-memory path used before).
+* ``gold_triples.parquet`` — the pandas-gold triples (gold.gold_triples
+  over the annotations: the annotation-span IOB path, independent of
+  the engine's gazetteer text-matching path), joined with warc_ts.
+
+The oracle SQL then derives linking / nodes / edges *relationally* in
+DuckDB from gold_triples + entity_dictionary (exact-join + all-pairs
+char-3-shingle Jaccard — an exhaustive reimplementation of the
+engine's MinHash-LSH residual linker, so it also gates LSH recall).
+"""
+
+from __future__ import annotations
+
+import os
+
+from . import corpus
+
+# bump to invalidate materialized fixtures when gold logic changes
+FIXTURE_VERSION = 1
+
+N_PAGES = 400
+
+
+def fixture_dir(n_pages: int = N_PAGES) -> str:
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(
+        repo,
+        ".kg_oracle",
+        f"v{corpus.CORPUS_VERSION}.{FIXTURE_VERSION}_p{n_pages}",
+    )
+
+
+_FILES = ("pages.parquet", "entity_dictionary.parquet", "gold_triples.parquet")
+
+
+def ensure_kg_fixture(n_pages: int = N_PAGES) -> str:
+    """Write the fixture parquet files if absent; return the directory."""
+    out = fixture_dir(n_pages)
+    if all(os.path.exists(os.path.join(out, f)) for f in _FILES):
+        return out
+    os.makedirs(out, exist_ok=True)
+    from ..gold import gold_triples
+
+    pages, ann = corpus.generate_pages(n_pages)
+    gold = gold_triples(ann).merge(
+        pages[["url", "warc_ts"]], on="url", how="left"
+    )[["url", "warc_ts", "sent_idx", "subj", "pred", "obj"]]
+    # write-then-rename per file would still race across processes;
+    # idempotent content (same seed) makes last-write-wins safe here
+    pages.to_parquet(os.path.join(out, "pages.parquet"), index=False)
+    corpus.generate_entity_dictionary().to_parquet(
+        os.path.join(out, "entity_dictionary.parquet"), index=False
+    )
+    gold.to_parquet(os.path.join(out, "gold_triples.parquet"), index=False)
+    return out

@@ -153,3 +153,53 @@ def test_build_graph_end_to_end(spark, triples_df, dictionary_df):
     # Zipf head drug should be a high-weight node
     top = nodes_p[nodes_p["entity_type"] == "DRUG"].nlargest(1, "n_mentions")
     assert top.iloc[0]["n_mentions"] > nodes_p["n_mentions"].median() * 3
+
+
+def test_dictionary_alias_key_unique(spark, dictionary_df):
+    """(alias_norm, entity_type) must be unique: the exact-join and the
+    LSH candidate dropDuplicates both assume one canonical per alias
+    (otherwise linking would be nondeterministic)."""
+    d = dictionary_df.toPandas()
+    key = d["alias"].str.lower().str.strip() + "|" + d["entity_type"]
+    assert not key.duplicated().any()
+
+
+def _char_shingles_py(s: str) -> set[str]:
+    p = "^" + s + "$"
+    return {p[i : i + 3] for i in range(max(len(p) - 3, 0) + 1)}
+
+
+def test_lsh_recall_vs_exhaustive(spark, triples_df, dictionary_df):
+    """Banded MinHash-LSH is probabilistic; this pins that at THIS
+    corpus + hash family (R=3, B=8) it resolves every residual surface
+    to the same best alias an exhaustive all-pairs Jaccard linker would
+    (recall 1.0 — deterministic given the fixed seeds, not flaky)."""
+    mentions = mentions_from_triples(triples_df)
+    linked = link_mentions(mentions, dictionary_df).toPandas()
+    residual = (
+        linked[linked["link_method"] != "dict"][
+            ["surface_norm", "entity_type", "link_method", "canonical_name"]
+        ]
+        .drop_duplicates(["surface_norm", "entity_type"])
+    )
+    assert len(residual) > 0
+    d = dictionary_df.toPandas()
+    d["alias_norm"] = d["alias"].str.lower().str.strip()
+    d = d.drop_duplicates(["alias_norm", "entity_type"])
+    alias_sh = {
+        (r.alias_norm, r.entity_type): (
+            _char_shingles_py(r.alias_norm), r.canonical_name
+        )
+        for r in d.itertuples(index=False)
+    }
+    for row in residual.itertuples(index=False):
+        ss = _char_shingles_py(row.surface_norm)
+        cands = sorted(
+            (-len(ss & sh) / len(ss | sh), alias, cname)
+            for (alias, etype), (sh, cname) in alias_sh.items()
+            if etype == row.entity_type
+            and len(ss & sh) / len(ss | sh) >= 0.5
+        )
+        want = cands[0][2] if cands else None
+        got = row.canonical_name if row.link_method == "lsh" else None
+        assert got == want, (row.surface_norm, got, want)
