@@ -105,7 +105,10 @@ def main() -> int:
             filter_language(pages), tagger_bc
         ).count()
 
-    kg_run()  # warmup: spawn workers, JIT, warm the page cache
+    # warmup x2: worker spawn + JVM JIT need more than one pass to
+    # reach steady state (measured: run1 ~1.6x slower than run3)
+    kg_run()
+    kg_run()
     kg_sec = float("inf")
     timed_runs = int(os.environ.get("SPARK_GRAFT_TIMED_RUNS", "2"))
     for _ in range(timed_runs):  # min-of-k: steady state, not scheduler luck

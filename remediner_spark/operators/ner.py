@@ -29,6 +29,7 @@ from ..gold import pair_mentions_positional
 from ..kernels import webtext
 from ..kernels.normalize import normalize_series
 from ..kernels.reconstruct import mentions_from_word_iob
+from ..kernels.tagmatch import BatchMatcher
 
 TRIPLE_SCHEMA = (
     "url string, warc_ts timestamp, sent_idx int, "
@@ -99,6 +100,21 @@ def _sentences_from_pages(pdf: pd.DataFrame, text_col: str) -> pd.DataFrame:
     return out
 
 
+def _pairs_per_sentence(norm: pd.Series, tagger) -> pd.DataFrame:
+    """Generic (model-tagger) path: per-sentence tag_words ->
+    mentions_from_word_iob -> positional pairing."""
+    rows = []
+    for i, text in enumerate(norm.to_numpy()):
+        words = text.split()
+        if not words:
+            continue
+        tags = tagger.tag_words(words)
+        _, mentions = mentions_from_word_iob(words, tags)
+        for s, _p, o in pair_mentions_positional(mentions):
+            rows.append((i, s, o))
+    return pd.DataFrame(rows, columns=["row", "subj", "obj"])
+
+
 def extract_triples_stage(
     pages: DataFrame,
     tagger_bc,
@@ -122,6 +138,16 @@ def extract_triples_stage(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tagger = tagger_bc.value
+        # batch-vectorized tagging/pairing kernel for lexicon taggers;
+        # semantics pinned to the per-sentence tag_words->reconstruct->
+        # pair chain by tests/test_tagmatch_differential.py. Model
+        # taggers (Bert/Dummy: only a tag_words surface) take the
+        # generic per-sentence path.
+        matcher = (
+            BatchMatcher.from_tagger(tagger)
+            if hasattr(tagger, "_index")
+            else None
+        )
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -130,24 +156,21 @@ def extract_triples_stage(
             sent = _sentences_from_pages(pdf, text_col)
             if len(sent) == 0:
                 continue
-            sent["norm"] = normalize_series(sent["sentence"])
-            rows = []
-            for url, ts, sent_idx, norm in zip(
-                sent["url"].to_numpy(),
-                sent["warc_ts"].to_numpy(),
-                sent["sent_idx"].to_numpy(),
-                sent["norm"].to_numpy(),
-            ):
-                words = norm.split()
-                if not words:
-                    continue
-                tags = tagger.tag_words(words)
-                _, mentions = mentions_from_word_iob(words, tags)
-                for s, p, o in pair_mentions_positional(mentions):
-                    rows.append((url, ts, int(sent_idx), s, p, o))
+            norm = normalize_series(sent["sentence"])
+            if matcher is not None:
+                pairs = matcher.extract_pairs(norm)
+            else:
+                pairs = _pairs_per_sentence(norm, tagger)
+            r = pairs["row"].to_numpy()
             yield pd.DataFrame(
-                rows,
-                columns=["url", "warc_ts", "sent_idx", "subj", "pred", "obj"],
+                {
+                    "url": sent["url"].to_numpy()[r],
+                    "warc_ts": sent["warc_ts"].to_numpy()[r],
+                    "sent_idx": sent["sent_idx"].to_numpy()[r].astype("int32"),
+                    "subj": pairs["subj"].to_numpy(),
+                    "pred": "CAUSES",
+                    "obj": pairs["obj"].to_numpy(),
+                }
             )
 
     # prune before the Python stage: mapInPandas ships its full input

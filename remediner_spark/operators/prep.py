@@ -172,6 +172,59 @@ def hash_split(
     )
 
 
+def sklearn_split_indices(
+    n_rows: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """A8 exact transcription of the reference's split chain
+    (/root/reference/src/main.py:148-151 ->
+    /root/reference/src/data_utilities.py:20-29):
+
+        indices = np.arange(n)
+        train, rest = train_test_split(indices, test_size=0.2,
+                                       random_state=0)
+        val, test   = train_test_split(rest,    test_size=0.5,
+                                       random_state=0)
+
+    sklearn's ShuffleSplit semantics (public source,
+    sklearn/model_selection/_split.py::ShuffleSplit._iter_indices):
+    rng = np.random.RandomState(random_state);
+    perm = rng.permutation(n); test = perm[:n_test],
+    train = perm[n_test:n_test+n_train], with n_test =
+    ceil(test_size*n) and n_train = n - n_test. sklearn itself is not
+    installed here; the transcription is pinned by a golden-index test
+    (numpy's RandomState permutation is platform-stable).
+
+    Returns (train_idx, val_idx, test_idx) in sklearn's output order.
+    """
+    import math
+
+    def _shuffle_split(arr: np.ndarray, test_size: float, seed: int):
+        n = len(arr)
+        n_test = math.ceil(test_size * n)
+        n_train = n - n_test
+        perm = np.random.RandomState(seed).permutation(n)
+        return arr[perm[n_test : n_test + n_train]], arr[perm[:n_test]]
+
+    indices = np.arange(n_rows)
+    train_idx, rest = _shuffle_split(indices, 0.2, 0)
+    val_idx, test_idx = _shuffle_split(rest, 0.5, 0)
+    return train_idx, val_idx, test_idx
+
+
+def sklearn_exact_split(spark: SparkSession, n_rows: int) -> DataFrame:
+    """A8 parity table: row_idx -> split with the reference's exact
+    80/10/10 membership (sklearn_split_indices), joinable onto gold
+    rows the same way main.py uses .iloc[indices]."""
+    train_idx, val_idx, test_idx = sklearn_split_indices(n_rows)
+    split = np.empty(n_rows, dtype=object)
+    split[train_idx] = "train"
+    split[val_idx] = "val"
+    split[test_idx] = "test"
+    return spark.createDataFrame(
+        pd.DataFrame({"row_idx": np.arange(n_rows), "split": split})
+    )
+
+
 def permutation_split(
     spark: SparkSession, n_rows: int, fractions=(0.8, 0.1, 0.1), seed: int = 0
 ) -> DataFrame:

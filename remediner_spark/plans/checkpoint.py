@@ -90,52 +90,63 @@ def run_stage(
     bucketed = with_bucket(input_df, n_buckets, key)
     done = committed_buckets(checkpoint_dir, stage)
     pending = bucketed.filter(~F.col(BUCKET_COL).isin(list(done))) if done else bucketed
+    todo = [b for b in range(n_buckets) if b not in done]
 
-    in_stats = {
-        r[BUCKET_COL]: r
-        for r in pending.groupBy(BUCKET_COL)
-        .agg(
-            F.count(F.lit(1)).alias("rows_in"),
-            F.min(key).alias("url_min"),
-            F.max(key).alias("url_max"),
-        )
-        .collect()
-    }
-    if in_stats:
+    if todo:
+        from pyspark.sql import Observation
+
+        # lineage metrics ride the write job via observe() — no
+        # separate stats scan of the input (at 10^12 docs an extra
+        # full pass per stage) and no read-back of the output. The
+        # pending bucket set is known statically (manifest set
+        # difference), so per-bucket metrics are count_if/min/max
+        # expressions over the observed nodes.
+        def _bucket_metrics(prefix: str, with_urls: bool):
+            cols = []
+            for b in todo:
+                hit = F.col(BUCKET_COL) == b
+                cols.append(F.count_if(hit).alias(f"{prefix}n_{b}"))
+                if with_urls:
+                    cols.append(
+                        F.min(F.when(hit, F.col(key))).alias(f"{prefix}lo_{b}")
+                    )
+                    cols.append(
+                        F.max(F.when(hit, F.col(key))).alias(f"{prefix}hi_{b}")
+                    )
+            return cols
+
+        obs_in = Observation(f"ckpt_{stage}_in")
+        obs_out = Observation(f"ckpt_{stage}_out")
         t0 = time.time()
-        out = transform(pending)
+        out = transform(pending.observe(obs_in, *_bucket_metrics("", True)))
         if BUCKET_COL not in out.columns:
             out = with_bucket(out, n_buckets, key)
         (
-            out.write.mode("overwrite")
+            out.observe(obs_out, *_bucket_metrics("o", False))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(BUCKET_COL)
             .parquet(data_dir)
         )
         wall = time.time() - t0
-        out_counts = {
-            r[BUCKET_COL]: r["rows_out"]
-            for r in spark.read.parquet(data_dir)
-            .filter(F.col(BUCKET_COL).isin(list(in_stats)))
-            .groupBy(BUCKET_COL)
-            .agg(F.count(F.lit(1)).alias("rows_out"))
-            .collect()
-        }
+        in_m, out_m = obs_in.get, obs_out.get
         records = [
             {
                 "stage": stage,
                 "bucket": int(b),
-                "url_min": s["url_min"],
-                "url_max": s["url_max"],
-                "rows_in": int(s["rows_in"]),
-                "rows_out": int(out_counts.get(b, 0)),
+                "url_min": in_m[f"lo_{b}"],
+                "url_max": in_m[f"hi_{b}"],
+                "rows_in": int(in_m[f"n_{b}"]),
+                "rows_out": int(out_m[f"on_{b}"]),
                 "status": "committed",
                 "wall_sec": round(wall, 3),
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
             }
-            for b, s in in_stats.items()
+            for b in todo
+            if in_m[f"n_{b}"] > 0
         ]
-        _append_manifest(checkpoint_dir, stage, records)
+        if records:
+            _append_manifest(checkpoint_dir, stage, records)
 
     committed = committed_buckets(checkpoint_dir, stage)
     return (

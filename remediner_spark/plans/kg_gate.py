@@ -115,11 +115,28 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.select("subj_id", "pred", "obj_id", "weight", "first_seen")
 
 
+REL_SCHEMA = (
+    "rel_id long, text string, effect string, e_start long, e_end long, "
+    "drug string, d_start long, d_end long"
+)
+
+
+def q_s1_pipe_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 literal form: pipe-delimited DRUG-AE.rel scan with the
+    reference's positional column mapping (text=v[1], effect=v[2],
+    drug=v[5]; /root/reference/ade_corpus_v2/ade_corpus_v2.py:199-218)."""
+    d = _fixture_dir()
+    return spark.read.csv(
+        f"{d}/drug_ae.rel", sep="|", header=False, schema=REL_SCHEMA
+    ).select("rel_id", "text", "effect", "drug", "e_start", "d_start")
+
+
 QUERIES = {
     "kg_pipeline_triples": q_kg_triples,
     "kg_linked_mentions": q_kg_linked_mentions,
     "kg_nodes": q_kg_nodes,
     "kg_edges": q_kg_edges,
+    "s1_pipe_scan": q_s1_pipe_scan,
 }
 
 
@@ -241,6 +258,13 @@ def oracles() -> dict[str, str]:
     d = _fixture_dir()
     ctes = _linked_ctes(d)
     return {
+        "s1_pipe_scan": f"""
+SELECT rel_id, text, effect, drug, e_start, d_start
+FROM read_csv('{d}/drug_ae.rel', delim='|', header=false, quote='',
+              columns={{'rel_id': 'BIGINT', 'text': 'VARCHAR',
+                        'effect': 'VARCHAR', 'e_start': 'BIGINT',
+                        'e_end': 'BIGINT', 'drug': 'VARCHAR',
+                        'd_start': 'BIGINT', 'd_end': 'BIGINT'}})""",
         "kg_pipeline_triples": (
             f"SELECT url, warc_ts, sent_idx, subj, pred, obj "
             f"FROM read_parquet('{d}/gold_triples.parquet')"

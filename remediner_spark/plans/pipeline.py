@@ -70,8 +70,15 @@ def run_pipeline(
     dictionary = spark.read.parquet(
         os.path.join(corpus_dir, "entity_dictionary.parquet")
     )
+    # `triples` branches three ways (mentions, id-join, count) and
+    # `linked` three ways (nodes, surface map, link_counts): without
+    # materialization each branch re-executes the upstream plan — for
+    # an unchecked-pointed run that's the whole Python extraction
+    # stage again (measured 5x wall in build_graph before caching).
+    if not checkpoint:  # checkpointed triples are already parquet-backed
+        triples = triples.cache()
     mentions = mentions_from_triples(triples)
-    linked = link_mentions(mentions, dictionary)
+    linked = link_mentions(mentions, dictionary).cache()
     nodes = build_nodes(linked)
     edges = build_edges(link_triples(triples, linked))
 

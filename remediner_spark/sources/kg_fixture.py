@@ -14,6 +14,12 @@ What gets materialized (deterministic, seed-pinned, idempotent):
 * ``gold_triples.parquet`` — the pandas-gold triples (gold.gold_triples
   over the annotations: the annotation-span IOB path, independent of
   the engine's gazetteer text-matching path), joined with warc_ts.
+* ``drug_ae.rel`` — a DRUG-AE.rel-shaped pipe-delimited file (the
+  reference's raw input format,
+  /root/reference/ade_corpus_v2/ade_corpus_v2.py:199-218: one line per
+  relation instance, positional fields id|text|effect|e_start|e_end|
+  drug|d_start|d_end) rendered from the corpus annotations, for the
+  S1 literal-scan gate entry.
 
 The oracle SQL then derives linking / nodes / edges *relationally* in
 DuckDB from gold_triples + entity_dictionary (exact-join + all-pairs
@@ -44,7 +50,31 @@ def fixture_dir(n_pages: int = N_PAGES) -> str:
     )
 
 
-_FILES = ("pages.parquet", "entity_dictionary.parquet", "gold_triples.parquet")
+_FILES = (
+    "pages.parquet",
+    "entity_dictionary.parquet",
+    "gold_triples.parquet",
+    "drug_ae.rel",
+)
+
+
+def _write_rel_file(ann, path: str) -> None:
+    """Render annotations as DRUG-AE.rel-style pipe-delimited lines.
+
+    Offsets are first-occurrence character spans (the reference
+    computes them the same way: `text.find`-style, no word
+    boundaries)."""
+    lines = []
+    for i, rec in enumerate(ann.itertuples(index=False)):
+        assert "|" not in rec.text, "pipe in corpus text breaks .rel format"
+        e0 = rec.text.find(rec.effect)
+        d0 = rec.text.find(rec.drug)
+        lines.append(
+            f"{i}|{rec.text}|{rec.effect}|{e0}|{e0 + len(rec.effect)}"
+            f"|{rec.drug}|{d0}|{d0 + len(rec.drug)}"
+        )
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 def ensure_kg_fixture(n_pages: int = N_PAGES) -> str:
@@ -66,4 +96,5 @@ def ensure_kg_fixture(n_pages: int = N_PAGES) -> str:
         os.path.join(out, "entity_dictionary.parquet"), index=False
     )
     gold.to_parquet(os.path.join(out, "gold_triples.parquet"), index=False)
+    _write_rel_file(ann, os.path.join(out, "drug_ae.rel"))
     return out

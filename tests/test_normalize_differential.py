@@ -52,3 +52,14 @@ def test_medical_style_sentences():
         "the patient's dorvax-induced nauseola; severity 3.5.",
     ]
     assert normalize_series(pd.Series(cases)).tolist() == reference_chain(cases)
+
+
+@settings(max_examples=500, deadline=None)
+@given(text_strategy)
+def test_punct_fast_equals_reference_pattern(text):
+    """PUNCT_FAST drops the (provably never-matching) negative
+    lookahead; pin byte equality against the literal reference
+    pattern."""
+    from remediner_spark.kernels.normalize import PUNCT_FAST, PUNCT_PATTERN
+
+    assert PUNCT_FAST.sub(" ", text) == PUNCT_PATTERN.sub(" ", text)

@@ -177,3 +177,41 @@ def test_bert_tagger_importerror_without_torch():
         pytest.skip("torch present; gate not applicable")
     with pytest.raises(ImportError):
         BertTagger(weights_bc=None)
+
+
+def test_sklearn_split_indices_golden():
+    """Pins the exact sklearn train_test_split transcription
+    (operators/prep.py:sklearn_split_indices). Golden values follow
+    from RandomState(0).permutation (platform-stable) + ShuffleSplit's
+    ceil/slice arithmetic: perm(20) = [18,1,19,8,10,17,...], n_test=4,
+    so test-stage slice perm[:4] -> second split halves it."""
+    import numpy as np
+
+    from remediner_spark.operators.prep import sklearn_split_indices
+
+    tr, va, te = sklearn_split_indices(20)
+    assert tr.tolist() == [10, 17, 6, 13, 4, 2, 5, 14, 9, 7,
+                           16, 11, 3, 0, 15, 12]
+    assert va.tolist() == [1, 18]
+    assert te.tolist() == [19, 8]
+
+    tr, va, te = sklearn_split_indices(1000)
+    assert (len(tr), len(va), len(te)) == (800, 100, 100)
+    allv = np.concatenate([tr, va, te])
+    assert sorted(allv.tolist()) == list(range(1000))
+    assert tr[:5].tolist() == [687, 500, 332, 979, 817]
+    assert te[:5].tolist() == [14, 945, 789, 367, 648]
+
+
+def test_sklearn_exact_split_table(spark):
+    from remediner_spark.operators.prep import (
+        sklearn_exact_split,
+        sklearn_split_indices,
+    )
+
+    table = sklearn_exact_split(spark, 100).toPandas()
+    counts = table["split"].value_counts().to_dict()
+    assert counts == {"train": 80, "val": 10, "test": 10}
+    tr, va, te = sklearn_split_indices(100)
+    got_test = set(table[table["split"] == "test"]["row_idx"])
+    assert got_test == set(te.tolist())

@@ -1,0 +1,102 @@
+"""Real-vocab WordPiece (max-munch) tests.
+
+1. Algorithm unit cases (greedy longest-match-first, [UNK] fallback,
+   HF id convention).
+2. The tokenizer-invariance differential VERDICT asked for: A5 label
+   propagation + M3 masked reconstruction produce IDENTICAL masked
+   text and mentions under the real-vocab tokenizer and the
+   deterministic stand-in, over the full corpus lexicon in sentence
+   context (subtoken boundaries differ; word-level outputs must not).
+3. Framing (A6) round trip with real vocab ids.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from remediner_spark.kernels.reconstruct import reconstruct_masked_text
+from remediner_spark.kernels.wordpiece import (
+    CLS,
+    PAD,
+    SEP,
+    UNK,
+    DeterministicWordpiece,
+    WordPieceTokenizer,
+    frame_bert_input,
+    tokenize_words_with_labels,
+)
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return WordPieceTokenizer()
+
+
+def test_max_munch_greedy_longest_first(tok):
+    # stem in vocab, suffix via continuation pieces
+    assert tok.tokenize("dorvax") == ["dorv", "##ax"]
+    # whole word present -> single piece even though its stem is too
+    assert tok.tokenize("patient") == ["patient"]
+    # unknown ASCII falls back to char pieces, never [UNK]
+    pieces = tok.tokenize("zzqq")
+    assert pieces[0] == "z" and all(p.startswith("##") for p in pieces[1:])
+    # non-ASCII chars are outside the fallback alphabet -> whole-word UNK
+    assert tok.tokenize("café") == [UNK]
+    assert tok.tokenize("") == []
+    assert tok.tokenize("x" * 200) == [UNK]  # max_input_chars guard
+
+
+def test_hf_id_convention(tok):
+    ids = tok.convert_tokens_to_ids([PAD, UNK, CLS, SEP])
+    assert ids == [0, 1, 2, 3]
+    toks = ["dorv", "##ax", "patient"]
+    assert tok.convert_ids_to_tokens(tok.convert_tokens_to_ids(toks)) == toks
+
+
+def _masked_via(tokenizer, words, labels):
+    toks, sub_labels = tokenize_words_with_labels(words, labels, tokenizer)
+    return reconstruct_masked_text(toks, sub_labels)
+
+
+def test_reconstruction_invariant_over_tokenizers(tok):
+    """Word-coherent labelings: masked text + mentions must be
+    identical whichever tokenizer splits the words (the M3 equivalence
+    domain)."""
+    from remediner_spark.kernels.iob import iob_tag_text
+    from remediner_spark.kernels.normalize import normalize_series
+    from remediner_spark.sources.corpus import (
+        _TEMPLATES,
+        drug_lexicon,
+        effect_lexicon,
+    )
+    import pandas as pd
+
+    det = DeterministicWordpiece()
+    effects = effect_lexicon()
+    checked = 0
+    for i, drug in enumerate(drug_lexicon()):
+        effect = effects[i % len(effects)]
+        text = _TEMPLATES[i % len(_TEMPLATES)].format(drug=drug, effect=effect)
+        norm = normalize_series(pd.Series([text]))[0]
+        words = norm.split()
+        tags = iob_tag_text(norm, [drug], [effect])
+        got_real = _masked_via(tok, words, tags)
+        got_det = _masked_via(det, words, tags)
+        assert got_real == got_det, (drug, effect, got_real, got_det)
+        checked += 1
+    assert checked >= 50
+
+
+def test_framing_with_real_vocab(tok):
+    words = ["Treatment", "with", "dorvax", "caused", "nauseola"]
+    labels = ["O", "O", "B-Drug", "O", "B-Effect"]
+    toks, sub_labels = tokenize_words_with_labels(words, labels, tok)
+    assert len(toks) == len(sub_labels) > len(words)  # real splits happen
+    lab_ids = [0 if l == "O" else 1 for l in sub_labels]
+    ids, attention, framed = frame_bert_input(toks, lab_ids, 16, tok)
+    assert len(ids) == len(attention) == len(framed) == 16
+    assert ids[0] == tok.convert_tokens_to_ids([CLS])[0]
+    assert framed[0] == -100 and framed[-1] == -100
+    # attention mask is 1 exactly over non-PAD positions
+    n_real = len(toks) + 2
+    assert attention == [1] * n_real + [0] * (16 - n_real)
