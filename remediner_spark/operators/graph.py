@@ -91,8 +91,13 @@ def build_edges(
     """linked triples (subj_id, pred, obj_id, url, warc_ts) -> edges.
 
     Salted two-phase: per-(edge, salt) partials keep collect_set bounded
-    (slice to SAMPLE_URLS before the merge), then a cheap second agg
-    over at most `salt_buckets` rows per edge.
+    (each partial keeps only its SAMPLE_URLS smallest urls before the
+    merge), then a cheap second agg over at most `salt_buckets` rows
+    per edge. Sampling is DETERMINISTIC (the lexicographically smallest
+    SAMPLE_URLS urls of the edge): every partial retains its local
+    smallest-k, so the merged smallest-k is exact regardless of
+    partition arrival order — reproducible across retries and cluster
+    layouts, and oracle-checkable.
     """
     partial = (
         linked_triples.withColumn("_salt", _salt(salt_buckets))
@@ -100,14 +105,18 @@ def build_edges(
         .agg(
             F.count(F.lit(1)).alias("_w"),
             F.min("warc_ts").alias("_first"),
-            F.slice(F.collect_set("url"), 1, SAMPLE_URLS).alias("_urls"),
+            F.slice(
+                F.array_sort(F.collect_set("url")), 1, SAMPLE_URLS
+            ).alias("_urls"),
         )
     )
     return partial.groupBy("subj_id", "pred", "obj_id").agg(
         F.sum("_w").alias("weight"),
         F.min("_first").alias("first_seen"),
         F.slice(
-            F.array_distinct(F.flatten(F.collect_list("_urls"))), 1, SAMPLE_URLS
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_urls")))),
+            1,
+            SAMPLE_URLS,
         ).alias("sample_urls"),
     )
 

@@ -109,10 +109,17 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, dictionary = _pages_and_dict(spark)
     _, edges = build_graph(q_kg_triples(spark, ""), dictionary)
-    # gate view: sample_urls is an array whose content depends on
-    # partial-aggregation arrival order (bounded sample, not a value) —
-    # deterministic columns only here; the sink keeps the full table
-    return edges.select("subj_id", "pred", "obj_id", "weight", "first_seen")
+    # gate view: the sample_urls array is deterministic (smallest-k
+    # sampling, operators/graph.build_edges) but the gate canonicalizer
+    # can't hash list columns — project it through concat_ws
+    return edges.select(
+        "subj_id",
+        "pred",
+        "obj_id",
+        "weight",
+        "first_seen",
+        F.concat_ws(",", "sample_urls").alias("sample_urls"),
+    )
 
 
 REL_SCHEMA = (
@@ -283,7 +290,10 @@ FROM ids GROUP BY entity_id""",
 WITH {ctes},
 surf_map AS (SELECT DISTINCT surface_norm, entity_type, entity_id FROM ids)
 SELECT dm.entity_id AS subj_id, g.pred, em.entity_id AS obj_id,
-       count(*) AS weight, min(g.warc_ts) AS first_seen
+       count(*) AS weight, min(g.warc_ts) AS first_seen,
+       array_to_string(
+           list_slice(list_sort(list_distinct(list(g.url))), 1, 5),
+           ',') AS sample_urls
 FROM g
 JOIN surf_map dm
   ON dm.surface_norm = g.subj AND dm.entity_type = 'DRUG'

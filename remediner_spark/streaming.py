@@ -88,3 +88,90 @@ def stream_triples(
         .outputMode("append")
         .start()
     )
+
+
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    horizon: str = "24 hours",
+):
+    """Custom stateful operator (applyInPandasWithState): cross-batch
+    first-seen URL dedup for a continuously-crawled corpus.
+
+    A crawler re-fetches urls; the KG ingest wants exactly one page row
+    per url — the earliest fetch — even when re-fetches land in later
+    micro-batches. Per-url state (a seen flag) lives in the streaming
+    state store, restored from the checkpoint across restarts.
+
+    Scale contract: state is bounded by the event-time horizon, not by
+    total distinct urls — EventTimeTimeout drops a url's state once
+    the watermark passes its last fetch + horizon (re-fetches arriving
+    later than the horizon are treated as new pages, the standard
+    late-data trade). At 10^12 docs the state store holds only the
+    horizon's url window.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    horizon_ms = 24 * 3600 * 1000 if horizon == "24 hours" else None
+    if horizon_ms is None:
+        n, unit = horizon.split()
+        horizon_ms = int(n) * {"hours": 3600_000, "minutes": 60_000}[unit]
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        best = None
+        max_ts = None
+        for pdf in pdfs:
+            row = pdf.loc[pdf["warc_ts"].idxmin()]
+            hi = pdf["warc_ts"].max()
+            if best is None or row["warc_ts"] < best["warc_ts"]:
+                best = row
+            if max_ts is None or hi > max_ts:
+                max_ts = hi
+        seen = state.exists
+        state.update((1,))
+        state.setTimeoutTimestamp(
+            int(pd.Timestamp(max_ts).value // 1_000_000) + horizon_ms
+        )
+        if seen or best is None:
+            return  # url already emitted in an earlier micro-batch
+        yield pd.DataFrame(
+            [
+                {
+                    "url": key[0],
+                    "warc_ts": best["warc_ts"],
+                    "lang": best["lang"],
+                }
+            ]
+        )
+
+    pages = (
+        stream_pages(spark, pages_dir)
+        # watermarks require TIMESTAMP (with timezone); pandas-written
+        # parquet often carries TIMESTAMP_NTZ — normalize first
+        .select(
+            "url", F.col("warc_ts").cast("timestamp").alias("warc_ts"), "lang"
+        )
+        .withWatermark("warc_ts", horizon)
+    )
+    deduped = pages.groupBy("url").applyInPandasWithState(
+        fn,
+        outputStructType="url string, warc_ts timestamp, lang string",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
