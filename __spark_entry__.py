@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         relational,
         similarity,
         textstats,
+        traindata,
     )
     from remediner_spark.plans import kg_gate
 
@@ -98,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(multimodal.QUERIES)
+    out.update(traindata.QUERIES)
     out.update(kg_gate.QUERIES)
     # every callable ships the package to executors first (cwd-proof)
     return {name: _wrap(fn) for name, fn in out.items()}
@@ -112,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         relational,
         similarity,
         textstats,
+        traindata,
     )
     from remediner_spark.plans import kg_gate
 
@@ -123,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(multimodal.ORACLES)
+    out.update(traindata.ORACLES)
     # end-to-end KG pipeline over the materialized corpus fixture: the
     # oracle reads the pandas-gold triples parquet and re-derives
     # linking/nodes/edges relationally in DuckDB (plans/kg_gate.py)

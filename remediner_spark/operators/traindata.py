@@ -1,0 +1,153 @@
+"""Training-data assembly operators: deterministic sampling + sequence
+packing.
+
+The LLM-pipeline counterparts of "select the corpus" and "shape it
+into pretraining batches", Spark-first with exact DuckDB oracles:
+
+* ``sample_bernoulli`` — keep-rate sampling by hash bucket of the key:
+  map-only, reproducible, join-stable (the same doc is kept in every
+  run and on every table sharing the key). The standard way to cut a
+  100 TB corpus to an n% slice without a shuffle.
+* ``sample_stratified`` — exact top-k per stratum ordered by a
+  deterministic hash (a seeded "random" k-subset per language that is
+  stable across runs). Window per stratum; at scale the window
+  shuffles one stratum per reducer, and AQE skew-split covers the
+  head stratum.
+* ``pack_sequences`` — GPT-style concat-and-chunk packing: documents
+  in canonical order are laid head-to-tail into fixed token-budget
+  sequences; each doc gets (seq_id, offset). The cumulative token
+  position is computed as a DISTRIBUTED PREFIX SUM — per-range-bucket
+  window partials plus a driver-side prefix over bucket subtotals
+  (metadata-sized: one row per bucket) broadcast back — never a
+  single global-order window, which would serialize 10^12 rows
+  through one reducer. The DuckDB oracle computes the same value with
+  a plain global window, so a hash match proves the two-phase prefix
+  sum equals the global cumsum exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .textstats import BPE_PATTERN, md5_hash32_expr, md5_hash32_sql
+
+SAMPLE_DENOM = 100
+SAMPLE_KEEP = 7  # ~7% Bernoulli slice
+STRATA_K = 20  # docs kept per language
+PACK_BUDGET = 512  # tokens per packed sequence
+PACK_BUCKET_WIDTH = 100  # doc_ids per prefix-sum bucket
+
+
+def q_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = md5_hash32_expr(F.concat(F.lit("bern|"), F.col("doc_id").cast("string")))
+    return docs.filter(h % SAMPLE_DENOM < SAMPLE_KEEP).select(
+        "doc_id", "lang"
+    )
+
+
+SQL_SAMPLE_BERNOULLI = f"""
+SELECT doc_id, lang FROM documents
+WHERE ({md5_hash32_sql("('bern|' || CAST(doc_id AS VARCHAR))")})
+      % {SAMPLE_DENOM} < {SAMPLE_KEEP}"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = md5_hash32_expr(
+        F.concat(F.lit("strat|"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= STRATA_K)
+        .select("lang", "sample_rank", "doc_id")
+    )
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY {md5_hash32_sql("('strat|' || CAST(doc_id AS VARCHAR))")}
+                      ASC, doc_id ASC) AS sample_rank
+  FROM documents)
+SELECT lang, sample_rank, doc_id FROM ranked
+WHERE sample_rank <= {STRATA_K}"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    b = docs.withColumn(
+        "_bucket", F.floor(F.col("doc_id") / PACK_BUCKET_WIDTH)
+    )
+    # phase 1: bucket subtotals (one row per bucket — metadata-sized),
+    # prefix-summed driver-side, broadcast back
+    totals = (
+        b.groupBy("_bucket")
+        .agg(F.sum("n_tokens").alias("_subtotal"))
+        .orderBy("_bucket")
+        .collect()
+    )
+    prefix_rows, acc = [], 0
+    for r in totals:
+        prefix_rows.append((r["_bucket"], acc))
+        acc += r["_subtotal"]
+    prefix = spark.createDataFrame(prefix_rows, "_bucket long, _prefix long")
+    # phase 2: window within bucket + broadcast prefix join
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_in_bucket = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        b.withColumn("_cum_in_bucket", cum_in_bucket)
+        .join(F.broadcast(prefix), "_bucket")
+        .withColumn("cum_before", F.col("_prefix") + F.col("_cum_in_bucket"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("cum_before") / PACK_BUDGET).alias("seq_id"),
+            (F.col("cum_before") % PACK_BUDGET).alias("seq_offset"),
+        )
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(cum_before / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+       CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS seq_offset
+FROM c"""
+
+
+QUERIES = {
+    "sample_bernoulli": q_sample_bernoulli,
+    "sample_stratified": q_sample_stratified,
+    "pack_sequences": q_pack_sequences,
+}
+
+ORACLES = {
+    "sample_bernoulli": SQL_SAMPLE_BERNOULLI,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+}
