@@ -42,6 +42,11 @@ PUNCT_FAST = re.compile(r"'s\b|[^\w\s\'.=]|(?<!\d)\.(?!\d)")
 
 TRAILING_DOT = re.compile(r"\.\s*$")
 MULTI_SPACE = re.compile(r"\s+")
+# Equivalent-to-MULTI_SPACE fast form (replacement is " "): a run of
+# one single space maps to itself under \s+ -> " ", so only runs of
+# >=2 and single NON-space whitespace chars ([^\S ]) need rewriting.
+# Most prose is single-spaced, so this touches few positions.
+MULTI_SPACE_FAST = re.compile(r"\s{2,}|[^\S ]")
 EQ_PATTERN = re.compile(r"(\b\w)\s*=\s*")
 
 
@@ -56,7 +61,7 @@ def normalize_series(s: pd.Series) -> pd.Series:
     s = s.str.replace(PUNCT_FAST, " ", regex=True)
     s = s.str.replace("'", "", regex=False)
     s = s.str.replace(TRAILING_DOT, "", regex=True)
-    s = s.str.replace(MULTI_SPACE, " ", regex=True)
+    s = s.str.replace(MULTI_SPACE_FAST, " ", regex=True)
     # `=` appears in a small fraction of prose rows: restrict the
     # tightening pass to rows that contain one (cheap literal scan)
     has_eq = s.str.contains("=", regex=False)

@@ -124,6 +124,81 @@ class BertTagger:
         return out
 
 
+class NumpyBertTagger:
+    """BertTagger-shaped NER tagger executing the transcribed
+    architecture in numpy (kernels/bert_encoder.py) — the M1 surface
+    actually RUNS here, torch-free: wordpiece -> frame to max_len ->
+    encoder forward -> per-token argmax -> first-subtoken label
+    projection, the same decode chain as BertTagger.tag_words_batch
+    (mirroring /root/reference/src/FINALMODEL/test_final.py:75-93).
+
+    Weights are a dict of numpy arrays (seeded stand-ins for the
+    trained checkpoint); broadcast the whole tagger once per executor,
+    exactly like the torch path ships state_dict bytes.
+    """
+
+    def __init__(self, params: dict, max_len: int = 48,
+                 batch_size: int = 64, tokenizer=None):
+        from ..kernels.wordpiece import WordPieceTokenizer
+
+        self._p = params
+        self.max_len = max_len
+        self.batch_size = batch_size
+        self._tok = tokenizer or WordPieceTokenizer()
+
+    @classmethod
+    def seeded(cls, seed: int = 13, d: int = 32, n_layers: int = 2,
+               n_heads: int = 4, d_ffn: int = 64, max_len: int = 48):
+        from ..kernels.bert_encoder import init_bert_params
+
+        params = init_bert_params(
+            seed, vocab=4096, d=d, n_layers=n_layers, n_heads=n_heads,
+            d_ffn=d_ffn, max_len=max_len,
+        )
+        return cls(params, max_len=max_len)
+
+    def tag_words(self, words: Sequence[str]) -> list[str]:
+        return self.tag_words_batch([list(words)])[0]
+
+    def tag_words_batch(self, batch: list[list[str]]) -> list[list[str]]:
+        import numpy as np
+
+        from ..kernels.bert_encoder import bert_token_logits
+        from ..kernels.wordpiece import frame_bert_input
+
+        out: list[list[str]] = []
+        for i in range(0, len(batch), self.batch_size):
+            chunk = batch[i : i + self.batch_size]
+            ids_rows, att_rows, wid_rows = [], [], []
+            for words in chunk:
+                toks, wids = [], []
+                for w_idx, w in enumerate(words):
+                    pieces = self._tok.tokenize(w)
+                    toks.extend(pieces)
+                    wids.extend([w_idx] + [-1] * (len(pieces) - 1))
+                ids, att, _ = frame_bert_input(
+                    toks, [0] * len(toks), self.max_len, self._tok
+                )
+                wid = [-1] + wids + [-1]
+                wid_rows.append((wid + [-1] * self.max_len)[: self.max_len])
+                ids_rows.append(ids)
+                att_rows.append(att)
+            logits = bert_token_logits(
+                np.array(ids_rows), np.array(att_rows), self._p
+            )
+            preds = logits.argmax(axis=-1)
+            for row, words in enumerate(chunk):
+                tags = ["O"] * len(words)
+                seen: set[int] = set()
+                for pos, wid in enumerate(wid_rows[row]):
+                    if wid < 0 or wid in seen or wid >= len(words):
+                        continue
+                    seen.add(wid)
+                    tags[wid] = IOB_LABELS[preds[row][pos]]
+                out.append(tags)
+        return out
+
+
 class DummyModel:
     """Deterministic stand-in exercising the broadcast/batch plumbing
     in tests without torch: 'predicts' B-Drug for words ending in 'x',
