@@ -1,0 +1,92 @@
+"""Composed NER->RE final-model inference, executed end-to-end
+(reference entry point 3, final_model.py:16-36) — torch-free.
+
+* driver-side composition is deterministic and emits only surfaces the
+  NER stage actually found (decode integrity across M3/M4/M6),
+* the fused Spark stage equals the driver-side composition exactly,
+* triple surfaces are lowercase mention text (the reference's
+  convention).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def model():
+    from remediner_spark.operators.bert_stub import NumpyBertTagger
+    from remediner_spark.operators.final_model import NumpyFinalModel
+    from remediner_spark.kernels.re_head import init_re_head_params
+    import numpy as np
+
+    re_max_len = 24
+    params = init_re_head_params(7, d_in=48, hidden=16, max_len=re_max_len,
+                                 reduced=24)
+    params["_d_in"] = np.array([48])
+    return NumpyFinalModel(
+        NumpyBertTagger.seeded(), params, re_max_len=re_max_len
+    )
+
+
+@pytest.fixture(scope="module")
+def norm_sentences(corpus_dir):
+    from remediner_spark.kernels.normalize import normalize_series
+    from remediner_spark.kernels.webtext import split_sentences
+
+    pages = pd.read_parquet(f"{corpus_dir}/pages.parquet")
+    pages = pages[pages["lang"] == "en"].head(80)
+    rows = []
+    for url, lst in zip(pages["url"], split_sentences(pages["text"])):
+        norm = normalize_series(pd.Series(lst, dtype=object))
+        for sent_idx, text in enumerate(norm):
+            rows.append((url, sent_idx, text))
+    return pd.DataFrame(rows, columns=["url", "sent_idx", "sentence"])
+
+
+def test_composition_deterministic_and_decodes(model, norm_sentences):
+    words = [s.split() for s in norm_sentences["sentence"]]
+    words = [w for w in words if w]
+    t1 = model.extract(words)
+    t2 = model.extract(words)
+    assert t1 == t2
+    # triples only pair surfaces the NER stage emitted as mentions
+    tags = model.ner.tag_words_batch(words)
+    from remediner_spark.kernels.reconstruct import mentions_from_word_iob
+
+    all_surfaces = set()
+    for w, t in zip(words, tags):
+        _, mentions = mentions_from_word_iob(w, t)
+        all_surfaces |= {m["surface"] for m in mentions}
+    emitted = {x for ts in t1 for (s, _, o) in ts for x in (s, o)}
+    assert emitted <= all_surfaces
+
+
+def test_spark_stage_equals_driver(spark, model, norm_sentences):
+    from remediner_spark.operators.final_model import final_model_stage
+
+    sdf = spark.createDataFrame(norm_sentences).repartition(4)
+    model_bc = spark.sparkContext.broadcast(model)
+    got = (
+        final_model_stage(sdf, model_bc)
+        .toPandas()
+        .sort_values(["url", "sent_idx", "subj", "obj"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for url, sent_idx, text in norm_sentences.itertuples(index=False):
+        w = text.split()
+        if not w:
+            continue
+        for s, p, o in model.extract([w])[0]:
+            rows.append((url, sent_idx, s, p, o))
+    want = (
+        pd.DataFrame(rows, columns=["url", "sent_idx", "subj", "pred", "obj"])
+        .sort_values(["url", "sent_idx", "subj", "obj"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got.astype({"sent_idx": "int64"}), want.astype({"sent_idx": "int64"})
+    )
