@@ -36,6 +36,15 @@ def main(argv: list[str] | None = None) -> int:
         "canonicalization + node/edge Iceberg-style tables) instead of "
         "triples only",
     )
+    ap.add_argument(
+        "--model",
+        choices=["gazetteer", "numpy-bert"],
+        default="gazetteer",
+        help="NER model behind the fused stage: the deterministic "
+        "gazetteer (exact vs gold), or the executed numpy BERT encoder "
+        "with seeded weights (architecture demo — predictions are not "
+        "trained, so skip --gold with it)",
+    )
     args = ap.parse_args(argv)
 
     from remediner_spark.operators.ner import (
@@ -65,9 +74,14 @@ def main(argv: list[str] | None = None) -> int:
     english = filter_language(pages).cache()
     n_pages = english.count()
     mismatches = extraction_mismatch_count(english)
-    from remediner_spark.plans.pipeline import default_tagger_bc
+    if args.model == "numpy-bert":
+        from remediner_spark.operators.bert_stub import NumpyBertTagger
 
-    tagger_bc = default_tagger_bc(spark)
+        tagger_bc = spark.sparkContext.broadcast(NumpyBertTagger.seeded())
+    else:
+        from remediner_spark.plans.pipeline import default_tagger_bc
+
+        tagger_bc = default_tagger_bc(spark)
     # extraction is fused into the triple stage (html in, triples out)
     triples = with_inverse_triples(
         extract_triples_stage(english, tagger_bc, extract_html=True)

@@ -41,6 +41,8 @@ def main() -> int:
         "dedup_minhash_lsh",
         "sim_topk_bruteforce",
         "m6_triple_assembly",    # mapInPandas stage
+        "dedup_embed_cosine",    # banded LSH, not all-pairs
+        "pack_sequences",        # broadcast prefix join
     ]
     checks = {
         "r13_word_explode": ["PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"],
@@ -56,13 +58,21 @@ def main() -> int:
             "WindowGroupLimit",
             "BroadcastNestedLoopJoin",
         ],
+        # embedding near-dup must candidate via the band equi-join
+        # (hash-joinable keys), never a nested-loop over all pairs
+        "dedup_embed_cosine": ["!BroadcastNestedLoopJoin", "!CartesianProduct"],
+        # the packing prefix table is metadata-sized -> broadcast join
+        "pack_sequences": ["BroadcastHashJoin"],
     }
     failures = []
     for name in audit_set:
         plan = get_plan(qs[name](spark, sf_dir))
         print(f"{'='*70}\n## {name}\n{plan}")
         for needle in checks.get(name, []):
-            if needle not in plan:
+            if needle.startswith("!"):
+                if needle[1:] in plan:
+                    failures.append(f"{name}: must NOT contain {needle[1:]!r}")
+            elif needle not in plan:
                 failures.append(f"{name}: missing {needle!r}")
     # column pruning check: scan of documents for text_tokens must not
     # read the full text... it must read ONLY doc_id+text
