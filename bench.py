@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "join_semi_anti",
     "agg_two_phase",
     "window_topk",
+    "sample_stratified",
+    "pack_sequences",
 ]
 
 # base pages generated pandas-side, then tiled with distinct urls to
@@ -142,10 +144,17 @@ def main() -> int:
     if not os.environ.get("SPARK_GRAFT_KG_ONLY"):
         queries = entrymod.queries()
         for name in BENCH_QUERIES:
-            df = queries[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()  # warmup
+            # time construction + execution together: some operators
+            # (pack_sequences' prefix-sum phase 1) run a driver-side
+            # job while BUILDING the DataFrame — timing only the final
+            # write would under-report them
+            def run_query() -> None:
+                df = queries[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+
+            run_query()  # warmup
             t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
+            run_query()
             q_times[name] = round(time.time() - t0, 3)
     q_times["kg_triple_extraction"] = round(kg_sec, 3)
     if graph_sec is not None:

@@ -64,7 +64,7 @@ def normalize_series(s: pd.Series) -> pd.Series:
     s = s.str.replace(MULTI_SPACE_FAST, " ", regex=True)
     # `=` appears in a small fraction of prose rows: restrict the
     # tightening pass to rows that contain one (cheap literal scan)
-    has_eq = s.str.contains("=", regex=False)
+    has_eq = s.str.contains("=", regex=False).fillna(False)
     if has_eq.any():
         s = s.copy()
         s[has_eq] = s[has_eq].str.replace(EQ_PATTERN, r"\1=", regex=True)

@@ -164,38 +164,29 @@ class NumpyBertTagger:
         import numpy as np
 
         from ..kernels.bert_encoder import bert_token_logits
-        from ..kernels.wordpiece import frame_bert_input
+        from ..kernels.wordpiece import (
+            frame_words_for_inference,
+            project_first_subtoken,
+        )
 
         out: list[list[str]] = []
         for i in range(0, len(batch), self.batch_size):
             chunk = batch[i : i + self.batch_size]
-            ids_rows, att_rows, wid_rows = [], [], []
-            for words in chunk:
-                toks, wids = [], []
-                for w_idx, w in enumerate(words):
-                    pieces = self._tok.tokenize(w)
-                    toks.extend(pieces)
-                    wids.extend([w_idx] + [-1] * (len(pieces) - 1))
-                ids, att, _ = frame_bert_input(
-                    toks, [0] * len(toks), self.max_len, self._tok
-                )
-                wid = [-1] + wids + [-1]
-                wid_rows.append((wid + [-1] * self.max_len)[: self.max_len])
-                ids_rows.append(ids)
-                att_rows.append(att)
+            framed = [
+                frame_words_for_inference(words, self.max_len, self._tok)
+                for words in chunk
+            ]
             logits = bert_token_logits(
-                np.array(ids_rows), np.array(att_rows), self._p
+                np.array([f[0] for f in framed]),
+                np.array([f[1] for f in framed]),
+                self._p,
             )
             preds = logits.argmax(axis=-1)
             for row, words in enumerate(chunk):
-                tags = ["O"] * len(words)
-                seen: set[int] = set()
-                for pos, wid in enumerate(wid_rows[row]):
-                    if wid < 0 or wid in seen or wid >= len(words):
-                        continue
-                    seen.add(wid)
-                    tags[wid] = IOB_LABELS[preds[row][pos]]
-                out.append(tags)
+                label_ids = project_first_subtoken(
+                    preds[row], framed[row][2], len(words)
+                )
+                out.append([IOB_LABELS[i] for i in label_ids])
         return out
 
 

@@ -319,7 +319,7 @@ EMB_BANDS, EMB_ROWS = 16, 4
 _EMB_SEED = 11
 
 
-def _emb_band_structs(v_col):
+def _emb_band_structs(v_col, dim: int):
     import numpy as np
 
     rng = np.random.RandomState(_EMB_SEED)
@@ -331,7 +331,7 @@ def _emb_band_structs(v_col):
         key = None
         for r in range(EMB_ROWS):
             plane = F.array(
-                *[F.lit(round(float(x), 6)) for x in rng.randn(64)]
+                *[F.lit(round(float(x), 6)) for x in rng.randn(dim)]
             )
             bit = F.when(dot(v_col, plane) >= 0, F.lit(1 << r)).otherwise(
                 F.lit(0)
@@ -352,8 +352,12 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
+    # hyperplanes must match the vector width: a mismatched literal dim
+    # would NULL the zip_with dot product, collapse every row into one
+    # band key, and silently degrade the band join to all-pairs
+    dim = int(emb.select(F.size("v").alias("d")).first()["d"])
     bands = emb.select(
-        "vec_id", F.explode(_emb_band_structs(F.col("v"))).alias("band")
+        "vec_id", F.explode(_emb_band_structs(F.col("v"), dim)).alias("band")
     ).select("vec_id", "band.band_idx", "band.band_key")
     cand = (
         bands.alias("a")

@@ -30,7 +30,10 @@ from pyspark.sql import DataFrame
 from ..kernels.pairing import assemble_triples
 from ..kernels.re_head import re_head_forward, seeded_encoder
 from ..kernels.reconstruct import mentions_from_word_iob
-from ..kernels.wordpiece import frame_bert_input
+from ..kernels.wordpiece import (
+    frame_words_for_inference,
+    project_first_subtoken,
+)
 
 TRIPLE_SCHEMA = (
     "url string, sent_idx int, subj string, pred string, obj string"
@@ -60,34 +63,20 @@ class NumpyFinalModel:
             mentions_batch.append(mentions)
 
         tok = self.ner._tok
-        ids_rows, wid_rows, n_words = [], [], []
-        for m_words in masked_words:
-            toks, wids = [], []
-            for w_idx, w in enumerate(m_words):
-                pieces = tok.tokenize(w)
-                toks.extend(pieces)
-                wids.extend([w_idx] + [-1] * (len(pieces) - 1))
-            ids, _att, _ = frame_bert_input(
-                toks, [0] * len(toks), self.re_max_len, tok
-            )
-            wid = [-1] + wids + [-1]
-            ids_rows.append(ids)
-            wid_rows.append((wid + [-1] * self.re_max_len)[: self.re_max_len])
-            n_words.append(len(m_words))
+        framed = [
+            frame_words_for_inference(m_words, self.re_max_len, tok)
+            for m_words in masked_words
+        ]
 
         d_in = int(self.re_params["_d_in"][0])
-        X = seeded_encoder(np.array(ids_rows), d_in)
+        X = seeded_encoder(np.array([f[0] for f in framed]), d_in)
         preds = re_head_forward(X, self.re_params).argmax(axis=-1)
 
         out = []
         for row, mentions in enumerate(mentions_batch):
-            rel = [0] * n_words[row]
-            seen: set[int] = set()
-            for pos, wid in enumerate(wid_rows[row]):
-                if wid < 0 or wid in seen or wid >= n_words[row]:
-                    continue
-                seen.add(wid)
-                rel[wid] = int(preds[row, pos])
+            rel = project_first_subtoken(
+                preds[row], framed[row][2], len(masked_words[row])
+            )
             out.append(assemble_triples(mentions, rel))
         return out
 

@@ -82,6 +82,13 @@ class GazetteerTagger:
                 i += 1
         return tags
 
+    def batch_matcher(self) -> BatchMatcher:
+        """Capability hook for the vectorized fast path: taggers that
+        can be compiled to a BatchMatcher expose this; model taggers
+        (only a tag_words surface) don't, and take the generic
+        per-sentence path in extract_triples_stage."""
+        return BatchMatcher(self._index)
+
 
 def _sentences_from_pages(pdf: pd.DataFrame, text_col: str) -> pd.DataFrame:
     """Pandas-side segmentation + explode for one Arrow batch."""
@@ -143,11 +150,8 @@ def extract_triples_stage(
         # pair chain by tests/test_tagmatch_differential.py. Model
         # taggers (Bert/Dummy: only a tag_words surface) take the
         # generic per-sentence path.
-        matcher = (
-            BatchMatcher.from_tagger(tagger)
-            if hasattr(tagger, "_index")
-            else None
-        )
+        bm = getattr(tagger, "batch_matcher", None)
+        matcher = bm() if bm is not None else None
         for pdf in batches:
             if len(pdf) == 0:
                 continue

@@ -57,6 +57,8 @@ def predict_word_rel_ids(
 ) -> list[list[int]]:
     """ids [B, T] -> per-word relation ids (driver-reusable so the
     Spark stage has an exact in-process differential)."""
+    from ..kernels.wordpiece import project_first_subtoken
+
     d_in = int(params["_d_in"][0])
     X = seeded_encoder(ids_batch, d_in)
     logits = re_head_forward(X, params)
@@ -65,15 +67,7 @@ def predict_word_rel_ids(
     for row, word_ids in enumerate(word_ids_batch):
         wid_arr = np.asarray(word_ids)
         n_words = int(wid_arr.max()) + 1 if (wid_arr >= 0).any() else 0
-        rel = [0] * n_words
-        seen: set[int] = set()
-        for pos, wid in enumerate(wid_arr):
-            w = int(wid)
-            if w < 0 or w in seen or w >= n_words:
-                continue
-            seen.add(w)
-            rel[w] = int(preds[row, pos])
-        out.append(rel)
+        out.append(project_first_subtoken(preds[row], wid_arr, n_words))
     return out
 
 

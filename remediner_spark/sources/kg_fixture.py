@@ -22,9 +22,12 @@ What gets materialized (deterministic, seed-pinned, idempotent):
   S1 literal-scan gate entry.
 
 The oracle SQL then derives linking / nodes / edges *relationally* in
-DuckDB from gold_triples + entity_dictionary (exact-join + all-pairs
-char-3-shingle Jaccard — an exhaustive reimplementation of the
-engine's MinHash-LSH residual linker, so it also gates LSH recall).
+DuckDB from gold_triples + entity_dictionary: exact dictionary join
+plus the banded MinHash-LSH residual linker re-expressed over the same
+md5-prefix hash family (plans/kg_gate.py) — both engines compute the
+identical banding, so the gate checks implementation correctness; LSH
+*recall* versus an exhaustive all-pairs Jaccard linker is gated
+separately in tests/test_linking_graph.py.
 """
 
 from __future__ import annotations

@@ -100,10 +100,16 @@ def stream_dedup_first_seen(
     """Custom stateful operator (applyInPandasWithState): cross-batch
     first-seen URL dedup for a continuously-crawled corpus.
 
-    A crawler re-fetches urls; the KG ingest wants exactly one page row
-    per url — the earliest fetch — even when re-fetches land in later
-    micro-batches. Per-url state (a seen flag) lives in the streaming
-    state store, restored from the checkpoint across restarts.
+    A crawler re-fetches urls; the KG ingest wants exactly one page
+    row per url even when re-fetches land in later micro-batches.
+    Emission is FIRST-OBSERVED: the row emitted is the event-time
+    earliest fetch *within the micro-batch that first sees the url*;
+    re-fetches in later batches are suppressed whatever their
+    timestamp (append sinks cannot retract, so a strictly
+    event-time-earliest variant would buffer in state and emit on
+    watermark timeout, trading a horizon of latency — not done here).
+    Per-url state (a seen flag) lives in the streaming state store,
+    restored from the checkpoint across restarts.
 
     Scale contract: state is bounded by the event-time horizon, not by
     total distinct urls — EventTimeTimeout drops a url's state once
@@ -136,8 +142,16 @@ def stream_dedup_first_seen(
                 max_ts = hi
         seen = state.exists
         state.update((1,))
+        # the timeout must be strictly beyond the current watermark:
+        # a backlog batch whose max event time already trails the
+        # watermark by more than the horizon would otherwise raise and
+        # crash-loop the query on restart
+        wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(
-            int(pd.Timestamp(max_ts).value // 1_000_000) + horizon_ms
+            max(
+                int(pd.Timestamp(max_ts).value // 1_000_000) + horizon_ms,
+                wm + 1,
+            )
         )
         if seen or best is None:
             return  # url already emitted in an earlier micro-batch

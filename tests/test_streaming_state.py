@@ -6,7 +6,10 @@ Checks the three contracts that matter:
 * state survives a QUERY RESTART via the checkpoint (a re-fetch
   arriving in a later availableNow run is suppressed),
 * the final output equals the batch groupBy(url).min(warc_ts) answer
-  over everything ingested (stream == batch).
+  over everything ingested — which holds here because re-fetches
+  arrive in later batches with LATER timestamps (the operator's
+  contract is first-OBSERVED: an out-of-order earlier re-fetch in a
+  later batch stays suppressed; see the operator docstring).
 """
 
 from __future__ import annotations
