@@ -138,11 +138,62 @@ def q_s1_pipe_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rel_id", "text", "effect", "drug", "e_start", "d_start")
 
 
+def q_kg_final_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed NER->RE inference (the executed numpy final model,
+    operators/final_model.py) over the corpus sentences. Rows-only by
+    design: the output is a function of seeded model weights through
+    two neural forwards — not SQL-expressible; correctness is gated by
+    tests/test_final_model.py (exact Spark==driver differential)."""
+    import numpy as np
+
+    from ..kernels.normalize import normalize_series
+    from ..kernels.re_head import init_re_head_params
+    from ..kernels.webtext import split_sentences
+    from ..operators.bert_stub import NumpyBertTagger
+    from ..operators.final_model import NumpyFinalModel, final_model_stage
+
+    pages, _ = _pages_and_dict(spark)
+
+    def to_sentences(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sents = split_sentences(pdf["text"])
+            lens = sents.str.len().fillna(0).astype(int)
+            out = pd.DataFrame(
+                {
+                    "url": pdf["url"].repeat(lens).to_numpy(),
+                    "sentence": [s for lst in sents for s in lst],
+                    "sent_idx": [
+                        i for lst in sents for i in range(len(lst))
+                    ],
+                }
+            )
+            out["sentence"] = normalize_series(out["sentence"])
+            yield out[["url", "sent_idx", "sentence"]]
+
+    sentences = pages.filter(pages["lang"] == "en").mapInPandas(
+        to_sentences, "url string, sent_idx int, sentence string"
+    )
+    re_max_len = 24
+    params = init_re_head_params(
+        7, d_in=48, hidden=16, max_len=re_max_len, reduced=24
+    )
+    params["_d_in"] = np.array([48])
+    model_bc = spark.sparkContext.broadcast(
+        NumpyFinalModel(NumpyBertTagger.seeded(), params, re_max_len)
+    )
+    return final_model_stage(sentences, model_bc)
+
+
 QUERIES = {
     "kg_pipeline_triples": q_kg_triples,
     "kg_linked_mentions": q_kg_linked_mentions,
     "kg_nodes": q_kg_nodes,
     "kg_edges": q_kg_edges,
+    "kg_final_model_triples": q_kg_final_model,
     "s1_pipe_scan": q_s1_pipe_scan,
 }
 

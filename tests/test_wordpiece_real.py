@@ -100,3 +100,21 @@ def test_framing_with_real_vocab(tok):
     # attention mask is 1 exactly over non-PAD positions
     n_real = len(toks) + 2
     assert attention == [1] * n_real + [0] * (16 - n_real)
+
+
+def test_frame_words_for_inference_truncation(tok):
+    from remediner_spark.kernels.wordpiece import (
+        frame_words_for_inference,
+        project_first_subtoken,
+    )
+
+    words = ["dorvax"] * 30  # 2 pieces each -> overflows max_len=16
+    ids, att, word_ids = frame_words_for_inference(words, 16, tok)
+    assert len(ids) == len(att) == len(word_ids) == 16
+    # truncated words keep the default label
+    preds = list(range(16))
+    out = project_first_subtoken(preds, word_ids, len(words), default=-1)
+    covered = {w for w in word_ids if w >= 0}
+    assert all(
+        (out[i] == -1) == (i not in covered) for i in range(len(words))
+    )
