@@ -140,14 +140,70 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM c"""
 
 
+CHUNK_W = 16  # window (whitespace tokens) — sized to the fixture docs
+CHUNK_S = 8  # stride (W - S = overlap)
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (context-window prep): each
+    doc yields ceil-strided windows of CHUNK_W tokens every CHUNK_S.
+    Map-only (explode over a per-row sequence); the chunk content is
+    verified cross-engine via the md5-prefix hash of the joined window
+    — the oracle recomputes the same slices in DuckDB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    n = F.size("w")
+    n_chunks = F.when(n <= CHUNK_W, F.lit(1)).otherwise(
+        F.ceil((n - CHUNK_W) / F.lit(CHUNK_S)) + 1
+    )
+    chunks = docs.select(
+        "doc_id",
+        "w",
+        n.alias("n_words"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).withColumn("off", F.col("chunk_idx") * CHUNK_S)
+    chunk_words = F.slice(F.col("w"), F.col("off") + 1, CHUNK_W)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("off").cast("long").alias("token_offset"),
+        F.size(chunk_words).cast("long").alias("chunk_tokens"),
+        md5_hash32_expr(F.concat_ws(" ", chunk_words)).alias("chunk_hash"),
+    )
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents),
+c AS (
+  SELECT doc_id, w, n_words,
+         unnest(range(0, CASE WHEN n_words <= {CHUNK_W} THEN 1
+                  ELSE CAST(ceil((n_words - {CHUNK_W}) * 1.0
+                                 / {CHUNK_S}) AS BIGINT) + 1 END))
+           AS chunk_idx
+  FROM d)
+SELECT doc_id, chunk_idx, chunk_idx * {CHUNK_S} AS token_offset,
+       len(w[chunk_idx * {CHUNK_S} + 1 :
+             chunk_idx * {CHUNK_S} + {CHUNK_W}]) AS chunk_tokens,
+       {md5_hash32_sql(
+           f"array_to_string(w[chunk_idx * {CHUNK_S} + 1 : "
+           f"chunk_idx * {CHUNK_S} + {CHUNK_W}], ' ')")} AS chunk_hash
+FROM c"""
+
+
 QUERIES = {
     "sample_bernoulli": q_sample_bernoulli,
     "sample_stratified": q_sample_stratified,
     "pack_sequences": q_pack_sequences,
+    "chunk_documents": q_chunk_documents,
 }
 
 ORACLES = {
     "sample_bernoulli": SQL_SAMPLE_BERNOULLI,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
 }
