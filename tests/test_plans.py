@@ -60,3 +60,35 @@ def test_fused_stage_prunes_html(spark, corpus_dir):
     ][0]
     assert "html" not in read_schema
     assert "text" in read_schema
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Co-located join: two tables bucketed+sorted on the key compile
+    to a SortMergeJoin with NO Exchange on either side — the 100 TB
+    amortize-the-shuffle-at-ingest layout (sources/bucketed.py)."""
+    from remediner_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    write_bucketed(
+        docs.select("doc_id", "text"), "t_docs_a", "doc_id",
+        path=str(tmp_path / "a"),
+    )
+    write_bucketed(
+        docs.select("doc_id", "lang"), "t_docs_b", "doc_id",
+        path=str(tmp_path / "b"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the join strategy decision (broadcast would trivially
+        # avoid the Exchange without proving bucket co-location)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_bucketed(spark, "t_docs_a").join(
+            read_bucketed(spark, "t_docs_b"), "doc_id"
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_docs_a")
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
