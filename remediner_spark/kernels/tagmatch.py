@@ -56,16 +56,14 @@ class BatchMatcher:
     def from_tagger(cls, tagger) -> "BatchMatcher":
         return cls(tagger._index)
 
-    def extract_pairs(self, norm: pd.Series) -> pd.DataFrame:
-        """Normalized sentences -> (row, subj, obj) CAUSES pairs.
+    def _accepted(self, norm: pd.Series, keep_orig: bool = False):
+        """Shared tokenize -> candidate -> greedy-resolution pipeline.
 
-        ``row`` is the positional index into ``norm`` (0..len-1).
+        Returns (flat_lower, flat_orig|None, row_id, pos, k, is_drug)
+        where (pos, k, is_drug) are the accepted matches in (row,
+        position) order; flat_* / row_id cover every token of every
+        row. Returns None when the batch has no tokens at all.
         """
-        empty = pd.DataFrame({"row": pd.array([], dtype="int64"),
-                              "subj": pd.array([], dtype=object),
-                              "obj": pd.array([], dtype=object)})
-        if len(norm) == 0:
-            return empty
         # ONE join+lower+split over the whole batch (C-speed) instead
         # of per-sentence splits; NUL tokens mark sentence boundaries.
         # NUL is the only control char that str.split() does NOT treat
@@ -78,7 +76,8 @@ class BatchMatcher:
         vals = norm.fillna("").astype(str)
         if vals.str.contains("\x00", regex=False).any():
             vals = vals.str.replace("\x00", " ", regex=False)
-        tokens = (" \x00 ".join(vals)).lower().split()
+        big = " \x00 ".join(vals)
+        tokens = big.lower().split()
         tok = np.array(tokens, dtype=object)
         codes_all, vocab = pd.factorize(tok)
         code_of = {w: c for c, w in enumerate(vocab)}
@@ -87,9 +86,16 @@ class BatchMatcher:
         flat = tok[~sep]
         codes = codes_all[~sep]
         row_id = row_id[~sep]
+        flat_orig = None
+        if keep_orig:
+            # lowercasing never changes whitespace, so token counts
+            # and separator positions line up with the lowered split
+            flat_orig = np.array(big.split(), dtype=object)[~sep]
         n = len(flat)
+        none_pos = np.array([], dtype=np.int64)
         if n == 0:
-            return empty
+            return (flat, flat_orig, row_id, none_pos,
+                    none_pos.copy(), np.array([], dtype=bool))
 
         # word -> sorted position list, via one stable argsort of the
         # (already factorized) codes
@@ -127,7 +133,8 @@ class BatchMatcher:
                 c_is_drug.append(np.full(len(pos), etype == "Drug"))
                 c_prio.append(np.full(len(pos), prio))
         if not c_pos:
-            return empty
+            return (flat, flat_orig, row_id, none_pos,
+                    none_pos.copy(), np.array([], dtype=bool))
         cand = pd.DataFrame(
             {
                 "pos": np.concatenate(c_pos),
@@ -168,6 +175,22 @@ class BatchMatcher:
                         keep[i] = True
                         cur_end = pos[i] + k[i]
             pos, k, row, is_drug = pos[keep], k[keep], row[keep], is_drug[keep]
+        return flat, flat_orig, row_id, pos, k, is_drug
+
+    def extract_pairs(self, norm: pd.Series) -> pd.DataFrame:
+        """Normalized sentences -> (row, subj, obj) CAUSES pairs.
+
+        ``row`` is the positional index into ``norm`` (0..len-1).
+        """
+        empty = pd.DataFrame({"row": pd.array([], dtype="int64"),
+                              "subj": pd.array([], dtype=object),
+                              "obj": pd.array([], dtype=object)})
+        if len(norm) == 0:
+            return empty
+        flat, _orig, row_id, pos, k, is_drug = self._accepted(norm)
+        if len(pos) == 0:
+            return empty
+        row = row_id[pos]
 
         # ---- run-collapse: adjacent same-class matches merge into one
         # mention (gap 0, same row, same class — the de_append latch).
@@ -228,3 +251,62 @@ class BatchMatcher:
             {"row": r_row[~dm], "rank": rank[~dm], "obj": r_surface[~dm]}
         )
         return d.merge(e, on=["row", "rank"])[["row", "subj", "obj"]]
+
+    def tag_batch(
+        self, norm: pd.Series
+    ) -> tuple[list[list[str]], list[list[str]], list[str]]:
+        """Normalized sentences -> (words, iob, masked) per row.
+
+        Semantics identical to per-sentence
+        ``GazetteerTagger.tag_words`` + ``mentions_from_word_iob``:
+        original-case words, word-aligned IOB, masked text with
+        lowercased non-entity words and ONE class token per contiguous
+        same-class run. Parity pinned by
+        tests/test_tagmatch_differential.py.
+        """
+        n_rows = len(norm)
+        if n_rows == 0:
+            return [], [], []
+        flat_l, flat_o, row_id, pos, k, is_drug = self._accepted(
+            norm, keep_orig=True
+        )
+        n = len(flat_l)
+        rng_rows = np.arange(n_rows)
+        lo = np.searchsorted(row_id, rng_rows, side="left")
+        hi = np.searchsorted(row_id, rng_rows, side="right")
+
+        tags = np.full(n, "O", dtype=object)
+        out_tok = flat_l.copy()  # masked output: lowered words by default
+        drop = np.zeros(n, dtype=bool)
+        if len(pos):
+            tags[pos[is_drug]] = "B-Drug"
+            tags[pos[~is_drug]] = "B-Effect"
+            for i in np.flatnonzero(k > 1):  # multi-word matches: rare
+                cls = "I-Drug" if is_drug[i] else "I-Effect"
+                tags[pos[i] + 1 : pos[i] + k[i]] = cls
+                drop[pos[i] : pos[i] + k[i]] = True
+            drop[pos[k == 1]] = True
+            # one class token per contiguous same-class run
+            row = row_id[pos]
+            new_run = np.ones(len(pos), dtype=bool)
+            new_run[1:] = (
+                (row[1:] != row[:-1])
+                | (is_drug[1:] != is_drug[:-1])
+                | (pos[1:] != pos[:-1] + k[:-1])
+            )
+            start_pos = pos[new_run]
+            drop[start_pos] = False
+            out_tok[start_pos] = np.where(
+                is_drug[new_run], "DRUG", "EFFECT"
+            )
+
+        words_col: list[list[str]] = []
+        iob_col: list[list[str]] = []
+        masked_col: list[str] = []
+        for r in range(n_rows):
+            a, b = lo[r], hi[r]
+            words_col.append(flat_o[a:b].tolist())
+            iob_col.append(tags[a:b].tolist())
+            seg = out_tok[a:b]
+            masked_col.append(" ".join(seg[~drop[a:b]]))
+        return words_col, iob_col, masked_col

@@ -193,18 +193,23 @@ def tag_sentences_stage(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tagger = tagger_bc.value
+        bm = getattr(tagger, "batch_matcher", None)
+        matcher = bm() if bm is not None else None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             norm = normalize_series(pdf[sentence_col])
-            words_col, iob_col, masked_col = [], [], []
-            for text in norm.to_numpy():
-                words = text.split()
-                tags = tagger.tag_words(words)
-                masked, _ = mentions_from_word_iob(words, tags)
-                words_col.append(words)
-                iob_col.append(tags)
-                masked_col.append(masked)
+            if matcher is not None:
+                words_col, iob_col, masked_col = matcher.tag_batch(norm)
+            else:
+                words_col, iob_col, masked_col = [], [], []
+                for text in norm.to_numpy():
+                    words = text.split()
+                    tags = tagger.tag_words(words)
+                    masked, _ = mentions_from_word_iob(words, tags)
+                    words_col.append(words)
+                    iob_col.append(tags)
+                    masked_col.append(masked)
             yield pd.DataFrame(
                 {
                     "url": pdf["url"],
