@@ -99,5 +99,62 @@ reach(v, r) AS (
 SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v"""
 
 
-QUERIES = {"dedup_components": q_dedup_components}
-ORACLES = {"dedup_components": sql_dedup_components()}
+def q_dedup_keep_canonical(spark, sf_dir: str) -> DataFrame:
+    """The dedup DECISION: every document maps to the canonical keeper
+    of its near-dup cluster (min doc_id per component; singletons keep
+    themselves) with a drop flag — the table a training-data pipeline
+    anti-joins against the corpus. Components are cluster-local ids, so
+    the keeper join is a shuffle on component id; singletons never
+    enter the pair list and are appended map-side."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    comp = q_dedup_components(spark, sf_dir)
+    keeper = comp.groupBy("component").agg(
+        F.min("doc_id").alias("keep_doc_id")
+    )
+    clustered = comp.join(keeper, "component").select(
+        "doc_id", "keep_doc_id"
+    )
+    return (
+        docs.join(clustered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("keep_doc_id"), F.col("doc_id")).alias(
+                "keep_doc_id"
+            ),
+        )
+        .withColumn("is_duplicate", F.col("doc_id") != F.col("keep_doc_id"))
+    )
+
+
+def sql_dedup_keep_canonical() -> str:
+    from .dedup import sql_jaccard_ctes
+
+    return f"""
+WITH RECURSIVE {sql_jaccard_ctes()},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jpairs
+  UNION
+  SELECT doc_b, doc_a FROM jpairs),
+reach(v, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
+comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+keeper AS (
+  SELECT component, min(doc_id) AS keep_doc_id FROM comp GROUP BY component)
+SELECT d.doc_id,
+       coalesce(k.keep_doc_id, d.doc_id) AS keep_doc_id,
+       coalesce(k.keep_doc_id, d.doc_id) != d.doc_id AS is_duplicate
+FROM documents d
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+LEFT JOIN keeper k ON k.component = c.component"""
+
+
+QUERIES = {
+    "dedup_components": q_dedup_components,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
+}
+ORACLES = {
+    "dedup_components": sql_dedup_components(),
+    "dedup_keep_canonical": sql_dedup_keep_canonical(),
+}
