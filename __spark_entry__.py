@@ -110,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         components,
         dedup,
         docpipe,
+        ivf,
         multimodal,
         relational,
         similarity,
@@ -121,6 +122,9 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
     out.update(components.ORACLES)
+    # sim_topk_ivf: the search phase over materialized centroids
+    # (k-means training stays Spark-side; operators/ivf.py docstring)
+    out.update(ivf.ORACLES)
     out.update(docpipe.ORACLES)
     out.update(textstats.ORACLES)
     out.update(dedup.ORACLES)

@@ -7,9 +7,17 @@ embedding space into nlist cells; a query scans only its own cell
 map-side transform against broadcast centroids and the search join
 shuffles on cell id — candidate sets shrink by ~nlist vs brute force.
 
-k-means is not SQL-expressible, so this operator is rows-only for the
-driver's oracle gate; its quality gate is the recall@k test against
-the brute-force baseline (tests/test_ivf.py).
+The k-means TRAINING is not SQL-expressible, but the SEARCH phase is:
+the fitted centroids are materialized to a parquet side file when the
+query runs, and the DuckDB oracle re-derives cell assignment (argmin
+squared distance), probe-cell selection, candidate generation, cosine
+ranking, and top-k relationally from that file + the embeddings view.
+So the gate hash-verifies everything downstream of the learned
+centroids; k-means quality itself is gated by the recall@k test
+against the brute-force baseline (tests/test_ivf.py). The side file is
+written fresh by the Spark query and read by the oracle in the same
+gate run (the gate executes the pair together, so they always see the
+same centroids).
 """
 
 from __future__ import annotations
@@ -23,6 +31,16 @@ from .similarity import N_QUERIES, TOP_K, _as_double, _cosine
 NLIST = 16
 NPROBE = 4
 _SEED = 13
+
+
+def centroids_path() -> str:
+    import os
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    os.makedirs(os.path.join(repo, ".kg_oracle"), exist_ok=True)
+    return os.path.join(repo, ".kg_oracle", "ivf_centroids.parquet")
 
 
 def _with_cells(spark: SparkSession, emb: DataFrame):
@@ -59,6 +77,13 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     assigned, centers = _with_cells(spark, emb)
+    # materialize the learned centroids so the DuckDB oracle can
+    # re-derive the whole search phase relationally (module docstring)
+    import pandas as pd
+
+    pd.DataFrame(
+        {"cell": list(range(len(centers))), "c": centers}
+    ).to_parquet(centroids_path(), index=False)
     assigned = assigned.cache()
     queries = assigned.filter(F.col("vec_id") < N_QUERIES)
     # probe-cell table: (query vec_id, cell) — tiny, broadcastable
@@ -96,5 +121,44 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_sim_topk_ivf() -> str:
+    """Search phase over the materialized centroids. Assignment and
+    probe selection order by (squared distance, cell) — the same
+    first-min tie-break as Spark ML's argmin and numpy argsort."""
+    d2 = (
+        "list_sum(list_transform(range(1, len(e.v) + 1), "
+        "i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT cell, c FROM read_parquet('{centroids_path()}')),
+dist AS (
+  SELECT e.vec_id, e.v, c.cell, {d2} AS d2
+  FROM e CROSS JOIN cent c),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dist) WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dist WHERE vec_id < {N_QUERIES}) WHERE rn <= {NPROBE}),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, a.v), 6) AS cosine
+  FROM probe p
+  JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.query_id
+  JOIN assigned q ON q.vec_id = p.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked
+WHERE rank <= {TOP_K}"""
+
+
 QUERIES = {"sim_topk_ivf": q_sim_topk_ivf}
-ORACLES: dict[str, str] = {}  # rows-only: k-means is not SQL-expressible
+# the search phase IS SQL-expressible given the materialized centroids
+ORACLES: dict[str, str] = {"sim_topk_ivf": sql_sim_topk_ivf()}
