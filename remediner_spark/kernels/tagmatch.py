@@ -44,17 +44,26 @@ class BatchMatcher:
     tagger).
     """
 
-    def __init__(self, index: dict[str, list[tuple[tuple[str, ...], str]]]):
+    def __init__(
+        self,
+        index: dict[str, list[tuple[tuple[str, ...], str]]],
+        space_split: bool = False,
+    ):
         # flatten the per-first-word buckets, keeping bucket-local
         # priority (position in the longest-first list) for tie-breaks
         self._phrases: list[tuple[tuple[str, ...], str, int]] = []
         for first in index:
             for prio, (phrase, etype) in enumerate(index[first]):
                 self._phrases.append((phrase, etype, prio))
+        # split semantics: str.split() (whitespace runs collapse; the
+        # tag_words parity mode) vs str.split(" ") (single-space, empty
+        # tokens preserved — the semantics of SQL string_split(text,' ')
+        # used by the docpipe oracles)
+        self._space_split = space_split
 
     @classmethod
-    def from_tagger(cls, tagger) -> "BatchMatcher":
-        return cls(tagger._index)
+    def from_tagger(cls, tagger, space_split: bool = False) -> "BatchMatcher":
+        return cls(tagger._index, space_split=space_split)
 
     def _accepted(self, norm: pd.Series, keep_orig: bool = False):
         """Shared tokenize -> candidate -> greedy-resolution pipeline.
@@ -65,23 +74,31 @@ class BatchMatcher:
         row. Returns None when the batch has no tokens at all.
         """
         # ONE join+lower+split over the whole batch (C-speed) instead
-        # of per-sentence splits; NUL tokens mark sentence boundaries.
-        # NUL is the only control char that str.split() does NOT treat
-        # as whitespace (\x1c-\x1f are Unicode whitespace), and it
-        # can't survive normalization; sanitize defensively so a
-        # pathological input degrades to a word split, never to a row
-        # miscount. Detection is via the factorize vocab dict (Python
-        # string equality) — numpy `== "\x00"` is unusable because
-        # numpy trims trailing NULs when coercing the scalar.
+        # of per-sentence splits; SOH (\x01) tokens mark sentence
+        # boundaries. The sentinel must be (a) non-whitespace for
+        # str.split (\x1c-\x1f are Unicode whitespace) and (b) NUL-free:
+        # pandas' string hashtable hashes C strings, so "\x00" collides
+        # with "" — which space-split mode produces for double spaces —
+        # and numpy `== "\x00"` is separately broken by trailing-NUL
+        # trimming. \x01 satisfies both and can't survive
+        # normalization; sanitize defensively so a pathological input
+        # degrades to a word split, never to a row miscount.
         vals = norm.fillna("").astype(str)
-        if vals.str.contains("\x00", regex=False).any():
-            vals = vals.str.replace("\x00", " ", regex=False)
-        big = " \x00 ".join(vals)
-        tokens = big.lower().split()
+        if vals.str.contains("\x01", regex=False).any():
+            vals = vals.str.replace("\x01", " ", regex=False)
+        big = " \x01 ".join(vals)
+        if self._space_split:
+            # split(" "): empty tokens survive (they can never match a
+            # phrase, and they break match adjacency exactly like the
+            # per-row text.split(" ") they mirror); the join's added
+            # spaces around \x01 keep the separator its own token
+            tokens = big.lower().split(" ")
+        else:
+            tokens = big.lower().split()
         tok = np.array(tokens, dtype=object)
         codes_all, vocab = pd.factorize(tok)
         code_of = {w: c for c, w in enumerate(vocab)}
-        sep = codes_all == code_of.get("\x00", -1)
+        sep = codes_all == code_of.get("\x01", -1)
         row_id = np.cumsum(sep)
         flat = tok[~sep]
         codes = codes_all[~sep]
@@ -90,7 +107,10 @@ class BatchMatcher:
         if keep_orig:
             # lowercasing never changes whitespace, so token counts
             # and separator positions line up with the lowered split
-            flat_orig = np.array(big.split(), dtype=object)[~sep]
+            orig_tokens = (
+                big.split(" ") if self._space_split else big.split()
+            )
+            flat_orig = np.array(orig_tokens, dtype=object)[~sep]
         n = len(flat)
         none_pos = np.array([], dtype=np.int64)
         if n == 0:
@@ -251,6 +271,21 @@ class BatchMatcher:
             {"row": r_row[~dm], "rank": rank[~dm], "obj": r_surface[~dm]}
         )
         return d.merge(e, on=["row", "rank"])[["row", "subj", "obj"]]
+
+    def count_b_tags(
+        self, norm: pd.Series
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-row counts of B-Drug / B-Effect tags (one per accepted
+        match — tag_words emits exactly one B per match start)."""
+        n_rows = len(norm)
+        if n_rows == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy()
+        _f, _o, row_id, pos, _k, is_drug = self._accepted(norm)
+        rows = row_id[pos]
+        nd = np.bincount(rows[is_drug], minlength=n_rows).astype(np.int64)
+        ne = np.bincount(rows[~is_drug], minlength=n_rows).astype(np.int64)
+        return nd, ne
 
     def tag_batch(
         self, norm: pd.Series

@@ -20,8 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..gold import pair_mentions_positional
-from ..kernels.reconstruct import mentions_from_word_iob
+from ..kernels.tagmatch import BatchMatcher
 from .ner import GazetteerTagger
 
 DOC_DRUGS = ["spark", "customer", "vector", "window"]
@@ -42,18 +41,14 @@ def q_m1_gazetteer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagger = _tagger()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # space_split mirrors the reference/oracle string_split(text,' ')
+        # semantics; parity with the per-row tag_words loop is pinned by
+        # tests/test_tagmatch_differential.py::test_space_split_mode
+        matcher = BatchMatcher.from_tagger(tagger, space_split=True)
         for pdf in batches:
-            n_drug, n_effect = [], []
-            for text in pdf["text"]:
-                tags = tagger.tag_words(text.split(" "))
-                n_drug.append(sum(t == "B-Drug" for t in tags))
-                n_effect.append(sum(t == "B-Effect" for t in tags))
+            nd, ne = matcher.count_b_tags(pdf["text"])
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_drug": pd.array(n_drug, dtype="int64"),
-                    "n_effect": pd.array(n_effect, dtype="int64"),
-                }
+                {"doc_id": pdf["doc_id"], "n_drug": nd, "n_effect": ne}
             )
 
     return docs.mapInPandas(fn, "doc_id long, n_drug long, n_effect long")
@@ -82,16 +77,17 @@ def q_m6_triples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagger = _tagger()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        matcher = BatchMatcher.from_tagger(tagger, space_split=True)
         for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = text.split(" ")
-                tags = tagger.tag_words(words)
-                _, mentions = mentions_from_word_iob(words, tags)
-                for s, p, o in pair_mentions_positional(mentions):
-                    rows.append((doc_id, s, p, o))
+            pairs = matcher.extract_pairs(pdf["text"])
+            r = pairs["row"].to_numpy()
             yield pd.DataFrame(
-                rows, columns=["doc_id", "subj", "pred", "obj"]
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[r],
+                    "subj": pairs["subj"].to_numpy(),
+                    "pred": "CAUSES",
+                    "obj": pairs["obj"].to_numpy(),
+                }
             )
 
     return docs.mapInPandas(fn, "doc_id long, subj string, pred string, obj string")

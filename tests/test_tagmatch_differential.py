@@ -151,3 +151,43 @@ def test_tag_batch_corpus_differential():
 def test_tag_batch_hypothesis_differential(sentences):
     norm = pd.Series([" ".join(ws) for ws in sentences], dtype=object)
     _assert_tag_equal(norm, GazetteerTagger(_DRUGS, _EFFECTS))
+
+
+def test_space_split_mode():
+    """split(' ') mode (the docpipe/oracle string_split semantics):
+    empty tokens survive double spaces and break match adjacency,
+    exactly like the per-row text.split(' ') loop it replaces."""
+    tagger = GazetteerTagger(_DRUGS, _EFFECTS)
+    texts = pd.Series(
+        [
+            "alpha  omega",          # double space -> empty token between
+            "alpha beta gamma omega",
+            " alpha omega",          # leading space -> leading empty token
+            "delta  beta gamma  tau",
+            "",
+            "alpha beta  gamma omega sigma tau",
+        ]
+    )
+    m = BatchMatcher.from_tagger(tagger, space_split=True)
+    got = m.extract_pairs(texts)
+    want_rows = []
+    for i, text in enumerate(texts):
+        words = text.split(" ")
+        tags = tagger.tag_words(words)
+        _, mentions = mentions_from_word_iob(words, tags)
+        for s, p, o in pair_mentions_positional(mentions):
+            want_rows.append((i, s, o))
+    want = pd.DataFrame(want_rows, columns=["row", "subj", "obj"])
+    key = ["row", "subj", "obj"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True).astype(
+            want.dtypes.to_dict()
+        ),
+        want.sort_values(key).reset_index(drop=True),
+    )
+    # count_b_tags mirrors per-row B-tag counting
+    nd, ne = m.count_b_tags(texts)
+    for i, text in enumerate(texts):
+        tags = tagger.tag_words(text.split(" "))
+        assert nd[i] == sum(t == "B-Drug" for t in tags)
+        assert ne[i] == sum(t == "B-Effect" for t in tags)
