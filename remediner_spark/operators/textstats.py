@@ -172,11 +172,71 @@ SELECT doc_id,
 FROM documents"""
 
 
+KEYWORDS_K = 3
+MIN_TERM_LEN = 3
+
+
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k distinguishing terms per document, scored tf/df (term
+    frequency over document frequency — the tf-idf ranking family with
+    a RATIONAL score: integer/integer division is bit-identical in
+    Spark and DuckDB, where a log-based idf could flip ranks in the
+    last ulp). Shape at scale: one explode + two hash aggs + a
+    broadcastable df join (term vocabulary), then a per-doc top-k
+    window."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    ).filter(F.length("term") >= MIN_TERM_LEN)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    from pyspark.sql.window import Window
+
+    scored = tf.join(F.broadcast(df), "term").withColumn(
+        "score", F.round(F.col("tf") / F.col("df"), 6)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KEYWORDS_K)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+    )
+
+
+def sql_text_keywords() -> str:
+    return f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms
+  WHERE length(term) >= {MIN_TERM_LEN}
+  GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * 1.0 / df.df, 6) AS score
+  FROM tf JOIN df USING (term)),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, rank, term, tf, df, score FROM ranked
+WHERE rank <= {KEYWORDS_K}"""
+
+
 QUERIES = {
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
+    "text_keywords": q_text_keywords,
 }
 
 ORACLES = {
@@ -184,4 +244,5 @@ ORACLES = {
     "text_quality": sql_text_quality(),
     "text_tokens": sql_text_tokens(),
     "text_fingerprint": sql_text_fingerprint(),
+    "text_keywords": sql_text_keywords(),
 }
