@@ -150,11 +150,104 @@ LEFT JOIN comp c ON c.doc_id = d.doc_id
 LEFT JOIN keeper k ON k.component = c.component"""
 
 
+# ---- fixed-point PageRank over the near-dup graph -------------------
+#
+# Iterative rank propagation is the second classic iterative graph
+# primitive after components. Floating-point PageRank is NOT
+# cross-engine reproducible (aggregation order changes the last ulp),
+# so ranks are fixed-point integers: contribution = r // deg and
+# new_r = BASE + (85 * sum) // 100 use only integer division and
+# integer sums — commutative and exact in both engines, making the
+# whole iteration hash-checkable. Iterations are a driver loop in
+# Spark (shuffle on dst per round) and unrolled CTEs in DuckDB
+# (aggregation is not allowed inside a recursive CTE term).
+
+PR_SCALE = 1_000_000
+PR_ITERS = 3
+PR_BASE = (15 * PR_SCALE) // 100
+
+
+def pagerank_fixed_point(
+    edges: DataFrame, iters: int = PR_ITERS
+) -> DataFrame:
+    """edges(src, dst) -> (node, rank_fp): integer fixed-point
+    PageRank after `iters` rounds, damping 0.85, start rank PR_SCALE."""
+    edges = edges.localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("r", F.lit(PR_SCALE).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("r div deg").alias("c"))
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, nodes["node"] == summed["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(PR_BASE)
+                    + F.expr("(85 * coalesce(s, 0)) div 100")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()  # truncate lineage per round
+        )
+    return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
+def q_graph_pagerank(spark, sf_dir: str) -> DataFrame:
+    """Document importance within near-dup clusters: PageRank over the
+    undirected exact-Jaccard pair graph."""
+    from .dedup import q_dedup_ngram_jaccard
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    return pagerank_fixed_point(edges).withColumnRenamed("node", "doc_id")
+
+
+def sql_graph_pagerank() -> str:
+    from .dedup import sql_jaccard_ctes
+
+    steps = []
+    for i in range(PR_ITERS):
+        steps.append(f"""
+s{i + 1} AS (
+  SELECT e.dst, sum(r{i}.r // od.deg) AS s
+  FROM edges e
+  JOIN r{i} ON r{i}.node = e.src
+  JOIN od ON od.src = e.src
+  GROUP BY e.dst),
+r{i + 1} AS (
+  SELECT n.node,
+         CAST({PR_BASE} + (85 * coalesce(s{i + 1}.s, 0)) // 100 AS BIGINT)
+           AS r
+  FROM nodes n LEFT JOIN s{i + 1} ON s{i + 1}.dst = n.node)""")
+    return f"""
+WITH {sql_jaccard_ctes()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM jpairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+od AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
+{",".join(steps)}
+SELECT node AS doc_id, r AS rank_fp FROM r{PR_ITERS}"""
+
+
 QUERIES = {
     "dedup_components": q_dedup_components,
     "dedup_keep_canonical": q_dedup_keep_canonical,
+    "graph_pagerank_neardup": q_graph_pagerank,
 }
 ORACLES = {
     "dedup_components": sql_dedup_components(),
     "dedup_keep_canonical": sql_dedup_keep_canonical(),
+    "graph_pagerank_neardup": sql_graph_pagerank(),
 }
