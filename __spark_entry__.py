@@ -124,7 +124,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(components.ORACLES)
     # sim_topk_ivf: the search phase over materialized centroids
     # (k-means training stays Spark-side; operators/ivf.py docstring)
-    out.update(ivf.ORACLES)
+    out.update(ivf.oracles())
     out.update(docpipe.ORACLES)
     out.update(textstats.ORACLES)
     out.update(dedup.ORACLES)

@@ -71,7 +71,8 @@ class BatchMatcher:
         Returns (flat_lower, flat_orig|None, row_id, pos, k, is_drug)
         where (pos, k, is_drug) are the accepted matches in (row,
         position) order; flat_* / row_id cover every token of every
-        row. Returns None when the batch has no tokens at all.
+        row. With no tokens or no matches the match arrays are empty
+        (the token arrays still describe the batch).
         """
         # ONE join+lower+split over the whole batch (C-speed) instead
         # of per-sentence splits; SOH (\x01) tokens mark sentence

@@ -58,12 +58,15 @@ def _sql_in_list(words: list[str]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+# lower(word): the engine's gazetteer matches case-insensitively and
+# emits lowercase surfaces (the reference's convention) — the oracle
+# mirrors that instead of relying on the corpus being lowercase
 SQL_M1 = f"""
 SELECT doc_id,
        len(list_filter(string_split(text, ' '),
-                       w -> w IN ({_sql_in_list(DOC_DRUGS)}))) AS n_drug,
+                       w -> lower(w) IN ({_sql_in_list(DOC_DRUGS)}))) AS n_drug,
        len(list_filter(string_split(text, ' '),
-                       w -> w IN ({_sql_in_list(DOC_EFFECTS)}))) AS n_effect
+                       w -> lower(w) IN ({_sql_in_list(DOC_EFFECTS)}))) AS n_effect
 FROM documents"""
 
 
@@ -108,9 +111,9 @@ w AS (
          generate_subscripts(string_split(text, ' '), 1) AS pos
   FROM documents),
 flags AS (
-  SELECT doc_id, pos, word,
-         word IN ({d_list}) AS is_d,
-         word IN ({e_list}) AS is_e
+  SELECT doc_id, pos, lower(word) AS word,
+         lower(word) IN ({d_list}) AS is_d,
+         lower(word) IN ({e_list}) AS is_e
   FROM w),
 marked AS (
   SELECT doc_id, pos, word, is_d, is_e,

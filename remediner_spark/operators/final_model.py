@@ -81,16 +81,28 @@ class NumpyFinalModel:
         return out
 
 
-def final_model_stage(sentences: DataFrame, model_bc) -> DataFrame:
-    """(url, sent_idx, sentence[normalized]) rows -> composed-model
-    triples; ONE mapInPandas hop per batch for NER+M3+M4+RE+M6."""
+def final_model_stage(
+    sentences: DataFrame, model_bc, normalize_input: bool = False
+) -> DataFrame:
+    """(url, sent_idx, sentence) rows -> composed-model triples; ONE
+    mapInPandas hop per batch for NER+M3+M4+RE+M6. Pass
+    ``normalize_input=True`` when sentences are raw (the byte-parity
+    normalization kernel then runs inside the same hop); default
+    expects already-normalized text."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.normalize import normalize_series
+
         model = model_bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            word_lists = [s.split() for s in pdf["sentence"]]
+            sent = (
+                normalize_series(pdf["sentence"])
+                if normalize_input
+                else pdf["sentence"]
+            )
+            word_lists = [s.split() for s in sent]
             keep = [i for i, w in enumerate(word_lists) if w]
             triples = model.extract([word_lists[i] for i in keep])
             rows = []

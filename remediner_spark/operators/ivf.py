@@ -1,28 +1,33 @@
 """IVF-style approximate nearest neighbor: k-means coarse quantizer.
 
 The second ANN scale path (alongside the hyperplane-LSH variant in
-operators/similarity.py): a seeded Spark-ML KMeans partitions the
-embedding space into nlist cells; a query scans only its own cell
-(optionally nprobe nearest cells). At 100 TB scale the assignment is a
-map-side transform against broadcast centroids and the search join
-shuffles on cell id — candidate sets shrink by ~nlist vs brute force.
+operators/similarity.py): a seeded Spark-ML KMeans learns NLIST
+centroids; vectors are assigned to their nearest centroid by an
+EXPLICIT broadcast-centroid expression (map-side, whole plan —
+Spark ML's transform() is not used for assignment because its
+norm-trick distance differs from a plain sum of squared differences
+in the last ulps, which would make cross-engine argmin comparisons
+fragile); a query scans only its NPROBE nearest cells. At 100 TB the
+assignment is map-side against broadcast centroid literals and the
+search join shuffles on cell id — candidate sets shrink ~NLIST-fold
+vs brute force.
 
-The k-means TRAINING is not SQL-expressible, but the SEARCH phase is:
-the fitted centroids are materialized to a parquet side file when the
-query runs, and the DuckDB oracle re-derives cell assignment (argmin
-squared distance), probe-cell selection, candidate generation, cosine
-ranking, and top-k relationally from that file + the embeddings view.
-So the gate hash-verifies everything downstream of the learned
-centroids; k-means quality itself is gated by the recall@k test
-against the brute-force baseline (tests/test_ivf.py). The side file is
-written fresh by the Spark query and read by the oracle in the same
-gate run (the gate executes the pair together, so they always see the
-same centroids).
+The k-means TRAINING is not SQL-expressible, but everything after it
+is: the fitted centroids are materialized to a parquet side file when
+the query runs (atomic tmp+rename; one gate run executes the Spark
+query and its oracle together, so both see the same centroids), and
+the DuckDB oracle re-derives assignment, probe selection, cosine
+ranking, and top-k relationally. All three implementations (Spark
+expression, driver-side probe math, DuckDB SQL) accumulate the
+squared-difference sum strictly left-to-right over dimensions and
+round d2 to 9dp before any argmin, so the discrete outputs are exact
+cross-engine, not float-lucky. k-means quality itself is gated by the
+recall@k test against brute force (tests/test_ivf.py).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -31,6 +36,7 @@ from .similarity import N_QUERIES, TOP_K, _as_double, _cosine
 NLIST = 16
 NPROBE = 4
 _SEED = 13
+_D2_DP = 9  # d2 rounding before argmin — same on all three engines
 
 
 def centroids_path() -> str:
@@ -39,52 +45,77 @@ def centroids_path() -> str:
     repo = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    os.makedirs(os.path.join(repo, ".kg_oracle"), exist_ok=True)
     return os.path.join(repo, ".kg_oracle", "ivf_centroids.parquet")
 
 
-def _with_cells(spark: SparkSession, emb: DataFrame):
-    """Assign each vector to its nearest of NLIST k-means centroids;
-    returns (assigned_df, centers) where assigned has `cell`."""
+def _fit_centroids(spark: SparkSession, emb: DataFrame) -> list[list[float]]:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feat = emb.withColumn("features", array_to_vector(F.col("v")))
     model = KMeans(k=NLIST, seed=_SEED, featuresCol="features").fit(feat)
-    assigned = (
-        model.transform(feat)
-        .withColumnRenamed("prediction", "cell")
-        .drop("features")
-    )
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
-    return assigned, centers
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _d2_cell_structs(v_col: Column, centers: list[list[float]]) -> Column:
+    """array of (d2 rounded, cell) structs — array_min picks the
+    lexicographic minimum, i.e. nearest cell with ties to the lower id."""
+    structs = []
+    for cell, c in enumerate(centers):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(v_col, lit_c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(
+            F.struct(
+                F.round(d2, _D2_DP).alias("d2"),
+                F.lit(cell).alias("cell"),
+            )
+        )
+    return F.array(*structs)
 
 
 def _query_probe_cells(centers: list[list[float]], qv: list[float]) -> list[int]:
-    """nprobe nearest cells for one query vector (driver-side math)."""
-    import numpy as np
-
-    c = np.array(centers)
-    q = np.array(qv)
-    d = ((c - q) ** 2).sum(axis=1)
-    return [int(i) for i in d.argsort()[:NPROBE]]
+    """NPROBE nearest cells for one query vector. Strictly sequential
+    accumulation + 9dp rounding: bitwise-identical to the Spark
+    aggregate and DuckDB list_sum derivations."""
+    ds = []
+    for cell, c in enumerate(centers):
+        acc = 0.0
+        for a, b in zip(qv, c):
+            acc += (a - b) * (a - b)
+        ds.append((round(acc, _D2_DP), cell))
+    ds.sort()
+    return [cell for _d, cell in ds[:NPROBE]]
 
 
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k neighbors per query, searching only the query's NPROBE
     nearest k-means cells."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    assigned, centers = _with_cells(spark, emb)
-    # materialize the learned centroids so the DuckDB oracle can
-    # re-derive the whole search phase relationally (module docstring)
-    import pandas as pd
-
+    centers = _fit_centroids(spark, emb)
+    # materialize the learned centroids for the oracle (atomic rename)
+    path = centroids_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
     pd.DataFrame(
         {"cell": list(range(len(centers))), "c": centers}
-    ).to_parquet(centroids_path(), index=False)
-    assigned = assigned.cache()
+    ).to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+
+    assigned = emb.withColumn(
+        "cell", F.array_min(_d2_cell_structs(F.col("v"), centers))["cell"]
+    ).cache()
     queries = assigned.filter(F.col("vec_id") < N_QUERIES)
     # probe-cell table: (query vec_id, cell) — tiny, broadcastable
     q_rows = queries.select("vec_id", "v").collect()
@@ -122,12 +153,12 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_sim_topk_ivf() -> str:
-    """Search phase over the materialized centroids. Assignment and
-    probe selection order by (squared distance, cell) — the same
-    first-min tie-break as Spark ML's argmin and numpy argsort."""
+    """Search phase over the materialized centroids: assignment and
+    probe selection argmin over 9dp-rounded sequential d2 sums with
+    (d2, cell) tie-break — mirroring the engine exactly."""
     d2 = (
-        "list_sum(list_transform(range(1, len(e.v) + 1), "
-        "i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))"
+        f"round(list_sum(list_transform(range(1, len(e.v) + 1), "
+        f"i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), {_D2_DP})"
     )
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -160,5 +191,10 @@ WHERE rank <= {TOP_K}"""
 
 
 QUERIES = {"sim_topk_ivf": q_sim_topk_ivf}
-# the search phase IS SQL-expressible given the materialized centroids
-ORACLES: dict[str, str] = {"sim_topk_ivf": sql_sim_topk_ivf()}
+
+
+def oracles() -> dict[str, str]:
+    """Built lazily (not at import): the oracle embeds the centroid
+    side-file path but must not create directories as an import-time
+    side effect."""
+    return {"sim_topk_ivf": sql_sim_topk_ivf()}

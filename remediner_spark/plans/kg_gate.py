@@ -146,37 +146,15 @@ def q_kg_final_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_final_model.py (exact Spark==driver differential)."""
     import numpy as np
 
-    from ..kernels.normalize import normalize_series
     from ..kernels.re_head import init_re_head_params
-    from ..kernels.webtext import split_sentences
     from ..operators.bert_stub import NumpyBertTagger
     from ..operators.final_model import NumpyFinalModel, final_model_stage
+    from ..operators.text import filter_language, segmented_sentences
 
     pages, _ = _pages_and_dict(spark)
-
-    def to_sentences(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            sents = split_sentences(pdf["text"])
-            lens = sents.str.len().fillna(0).astype(int)
-            out = pd.DataFrame(
-                {
-                    "url": pdf["url"].repeat(lens).to_numpy(),
-                    "sentence": [s for lst in sents for s in lst],
-                    "sent_idx": [
-                        i for lst in sents for i in range(len(lst))
-                    ],
-                }
-            )
-            out["sentence"] = normalize_series(out["sentence"])
-            yield out[["url", "sent_idx", "sentence"]]
-
-    sentences = pages.filter(pages["lang"] == "en").mapInPandas(
-        to_sentences, "url string, sent_idx int, sentence string"
-    )
+    # segmented_sentences reads only (url, warc_ts, text) — the html
+    # binary never crosses Arrow (CLAUDE.md mapInPandas-input rule)
+    sentences = segmented_sentences(filter_language(pages)).drop("warc_ts")
     re_max_len = 24
     params = init_re_head_params(
         7, d_in=48, hidden=16, max_len=re_max_len, reduced=24
@@ -185,7 +163,7 @@ def q_kg_final_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     model_bc = spark.sparkContext.broadcast(
         NumpyFinalModel(NumpyBertTagger.seeded(), params, re_max_len)
     )
-    return final_model_stage(sentences, model_bc)
+    return final_model_stage(sentences, model_bc, normalize_input=True)
 
 
 QUERIES = {

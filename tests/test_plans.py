@@ -67,7 +67,7 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     amortize-the-shuffle-at-ingest layout (sources/bucketed.py)."""
     from remediner_spark.sources.bucketed import read_bucketed, write_bucketed
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
     write_bucketed(
         docs.select("doc_id", "text"), "t_docs_a", "doc_id",
         path=str(tmp_path / "a"),
