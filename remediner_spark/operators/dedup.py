@@ -93,14 +93,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     inv = docs.select("doc_id", F.explode("sh").alias("shingle"))
-    # one aggregation builds each shingle's posting list; the
-    # doc-frequency cap (stop-shingles) and the pair expansion happen
-    # map-side on the aggregated row — no inverted-index self-join.
-    postings = (
+    # doc-frequency cap FIRST, as a count() agg: count keeps O(1) state
+    # per key (map-side partial combine), so a head stop-shingle in
+    # 10^9+ documents costs one long per partition — whereas running
+    # collect_list before the cap would materialize its full posting
+    # array on a single reducer before discarding it (OOM at 100 TB).
+    # Shingles are list_distinct per doc, so count(*) == doc frequency.
+    rare = (
         inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF))
+        .select("shingle")
+    )
+    # left-semi against the rare set, THEN collect: every posting list
+    # that reaches collect_list is <= MAX_DF long by construction. Both
+    # aggs and the join hash on `shingle`, so the exchange is reused.
+    postings = (
+        inv.join(rare, "shingle", "left_semi")
+        .groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-        .filter(F.size("docs") <= MAX_DF)
-        .filter(F.size("docs") >= 2)
     )
     pair_structs = F.flatten(
         F.transform(

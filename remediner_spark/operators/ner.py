@@ -108,18 +108,41 @@ def _sentences_from_pages(pdf: pd.DataFrame, text_col: str) -> pd.DataFrame:
 
 
 def _pairs_per_sentence(norm: pd.Series, tagger) -> pd.DataFrame:
-    """Generic (model-tagger) path: per-sentence tag_words ->
-    mentions_from_word_iob -> positional pairing."""
-    rows = []
-    for i, text in enumerate(norm.to_numpy()):
-        words = text.split()
-        if not words:
-            continue
-        tags = tagger.tag_words(words)
-        _, mentions = mentions_from_word_iob(words, tags)
+    """Generic (model-tagger) path: tag -> mentions_from_word_iob ->
+    positional pairing.
+
+    Prefers the tagger's ``tag_words_batch`` when exposed (one batched
+    forward per Arrow batch — batching is the point of mapInPandas
+    model serving; NumpyBertTagger/BertTagger both expose it), falling
+    back to per-sentence ``tag_words``. The row index column is always
+    int64 so downstream fancy indexing stays valid on zero-pair batches
+    (an all-object empty frame would make `sent[...][r]` raise).
+    """
+    word_lists = [t.split() for t in norm.to_numpy()]
+    batch_fn = getattr(tagger, "tag_words_batch", None)
+    if batch_fn is not None:
+        nonempty = [i for i, w in enumerate(word_lists) if w]
+        tagged = zip(nonempty, batch_fn([word_lists[i] for i in nonempty]))
+    else:
+        tagged = (
+            (i, tagger.tag_words(w)) for i, w in enumerate(word_lists) if w
+        )
+    rows: list[int] = []
+    subjs: list[str] = []
+    objs: list[str] = []
+    for i, tags in tagged:
+        _, mentions = mentions_from_word_iob(word_lists[i], tags)
         for s, _p, o in pair_mentions_positional(mentions):
-            rows.append((i, s, o))
-    return pd.DataFrame(rows, columns=["row", "subj", "obj"])
+            rows.append(i)
+            subjs.append(s)
+            objs.append(o)
+    return pd.DataFrame(
+        {
+            "row": pd.Series(rows, dtype="int64"),
+            "subj": pd.Series(subjs, dtype=object),
+            "obj": pd.Series(objs, dtype=object),
+        }
+    )
 
 
 def extract_triples_stage(
@@ -202,14 +225,16 @@ def tag_sentences_stage(
             if matcher is not None:
                 words_col, iob_col, masked_col = matcher.tag_batch(norm)
             else:
-                words_col, iob_col, masked_col = [], [], []
-                for text in norm.to_numpy():
-                    words = text.split()
-                    tags = tagger.tag_words(words)
-                    masked, _ = mentions_from_word_iob(words, tags)
-                    words_col.append(words)
-                    iob_col.append(tags)
-                    masked_col.append(masked)
+                words_col = [t.split() for t in norm.to_numpy()]
+                batch_fn = getattr(tagger, "tag_words_batch", None)
+                if batch_fn is not None:
+                    iob_col = batch_fn(words_col)
+                else:
+                    iob_col = [tagger.tag_words(w) for w in words_col]
+                masked_col = [
+                    mentions_from_word_iob(w, t)[0]
+                    for w, t in zip(words_col, iob_col)
+                ]
             yield pd.DataFrame(
                 {
                     "url": pdf["url"],

@@ -18,9 +18,10 @@ into pretraining batches", Spark-first with exact DuckDB oracles:
   sequences; each doc gets (seq_id, offset). The cumulative token
   position is computed as a DISTRIBUTED PREFIX SUM — per-range-bucket
   window partials plus a driver-side prefix over bucket subtotals
-  (metadata-sized: one row per bucket) broadcast back — never a
-  single global-order window, which would serialize 10^12 rows
-  through one reducer. The DuckDB oracle computes the same value with
+  (bucket count capped at PACK_MAX_BUCKETS via a range-derived width,
+  so the collect is bounded at any corpus size) broadcast back —
+  never a single global-order window, which would serialize 10^12
+  rows through one reducer. The DuckDB oracle computes the same value with
   a plain global window, so a hash match proves the two-phase prefix
   sum equals the global cumsum exactly.
 """
@@ -37,7 +38,11 @@ SAMPLE_DENOM = 100
 SAMPLE_KEEP = 7  # ~7% Bernoulli slice
 STRATA_K = 20  # docs kept per language
 PACK_BUDGET = 512  # tokens per packed sequence
-PACK_BUCKET_WIDTH = 100  # doc_ids per prefix-sum bucket
+# hard cap on prefix-sum buckets: the driver-side prefix collects one
+# row per NON-EMPTY bucket, so its size is min(n_docs, PACK_MAX_BUCKETS)
+# — bounded and metadata-sized no matter the corpus (at the 10^12-doc
+# design target each bucket spans ~1.5e7 ids; 64Ki longs driver-side)
+PACK_MAX_BUCKETS = 1 << 16
 
 
 def q_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,11 +91,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
-    b = docs.withColumn(
-        "_bucket", F.floor(F.col("doc_id") / PACK_BUCKET_WIDTH)
-    )
-    # phase 1: bucket subtotals (one row per bucket — metadata-sized),
-    # prefix-summed driver-side, broadcast back
+    # bucket width derived from the id RANGE (not a constant), so the
+    # bucket count — and therefore the driver-side prefix — is bounded
+    # by PACK_MAX_BUCKETS independent of corpus size. The max(doc_id)
+    # probe is a column-pruned single-long agg (the n_tokens regexp is
+    # pruned out of this branch by Catalyst).
+    max_id = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    width = max(1, -(-((max_id or 0) + 1) // PACK_MAX_BUCKETS))
+    b = docs.withColumn("_bucket", F.floor(F.col("doc_id") / width))
+    # phase 1: bucket subtotals (one row per non-empty bucket, <= 2^16
+    # rows), prefix-summed driver-side, broadcast back
     totals = (
         b.groupBy("_bucket")
         .agg(F.sum("n_tokens").alias("_subtotal"))

@@ -170,6 +170,28 @@ def test_dummy_model_plumbing(spark):
     assert triples.iloc[0]["obj"] == "nauseola"
 
 
+def test_dummy_model_zero_triple_batch(spark):
+    """Regression: a batch whose sentences yield NO pairs used to build
+    an all-object empty pairs frame, making the fancy-index on
+    sent['url'] raise IndexError inside the mapInPandas stage."""
+    from remediner_spark.operators.bert_stub import DummyModel
+    from remediner_spark.operators.ner import extract_triples_stage
+
+    pdf = pd.DataFrame(
+        {
+            "url": ["u1", "u2"],
+            "warc_ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02"]
+            ).astype("datetime64[us]"),
+            "text": ["nothing to see here.", "plain words only."],
+        }
+    )
+    pages = spark.createDataFrame(pdf)
+    bc = spark.sparkContext.broadcast(DummyModel())
+    triples = extract_triples_stage(pages, bc).toPandas()
+    assert len(triples) == 0
+
+
 def test_bert_tagger_importerror_without_torch():
     from remediner_spark.operators.bert_stub import BertTagger, torch_available
 

@@ -42,6 +42,7 @@ def main() -> int:
         "sim_topk_bruteforce",
         "m6_triple_assembly",    # mapInPandas stage
         "dedup_embed_cosine",    # banded LSH, not all-pairs
+        "dedup_ngram_jaccard",   # df-cap semi-join BEFORE collect_list
         "pack_sequences",        # broadcast prefix join
     ]
     checks = {
@@ -63,6 +64,10 @@ def main() -> int:
         "dedup_embed_cosine": ["!BroadcastNestedLoopJoin", "!CartesianProduct"],
         # the packing prefix table is metadata-sized -> broadcast join
         "pack_sequences": ["BroadcastHashJoin"],
+        # the doc-frequency cap must run as a count agg + semi-join
+        # BEFORE collect_list, so no reducer holds an uncapped posting
+        # array (head stop-shingle OOM at 100 TB)
+        "dedup_ngram_jaccard": ["LeftSemi", "collect_list"],
     }
     failures = []
     for name in audit_set:
