@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import md5_hash32_expr
+from .textstats import md5_hash60_expr, md5_hash60_sql
 
 DEFAULT_SALT_BUCKETS = 16
 SAMPLE_URLS = 5
@@ -33,20 +33,20 @@ def _salt(buckets: int):
 
 def synthetic_entity_id(surface_norm: Column, entity_type: Column) -> Column:
     """Stable negative id for unlinked mentions. md5-prefix based (not
-    xxhash64) so DuckDB oracles and pandas gold reproduce it bit-for-bit
-    (textstats.md5_hash32_expr); +1 keeps it disjoint from 0 and from
-    the positive canonical-id space."""
+    xxhash64) so DuckDB oracles and pandas gold reproduce it bit-for-bit;
+    60-bit prefix (textstats.md5_hash60_expr) because a 32-bit id space
+    would silently merge unrelated surfaces into one node at web scale
+    (~50% birthday collision at ~77k distinct keys). +1 keeps it
+    disjoint from 0 and from the positive canonical-id space."""
     return -(
-        md5_hash32_expr(F.concat(surface_norm, F.lit("|"), entity_type)) + 1
+        md5_hash60_expr(F.concat(surface_norm, F.lit("|"), entity_type)) + 1
     )
 
 
 def synthetic_entity_id_sql(surface_norm: str, entity_type: str) -> str:
     """DuckDB rendering of synthetic_entity_id (same md5-prefix hash)."""
-    return (
-        f"-(CAST(('0x' || substring(md5({surface_norm} || '|' || "
-        f"{entity_type}), 1, 8)) AS BIGINT) + 1)"
-    )
+    h = md5_hash60_sql(f"({surface_norm} || '|' || {entity_type})")
+    return f"-({h} + 1)"
 
 
 def with_entity_ids(linked_mentions: DataFrame) -> DataFrame:

@@ -77,16 +77,28 @@ def _d2_cell_structs(v_col: Column, centers: list[list[float]]) -> Column:
     return F.array(*structs)
 
 
+def _round_half_up(x: float) -> float:
+    """HALF_UP rounding to _D2_DP decimals — the SAME convention as
+    Spark's F.round and DuckDB's round (both half-away-from-zero for
+    the non-negative d2 here). Python's builtin round() is half-EVEN,
+    which would diverge on a sum landing exactly on a half at 9dp;
+    astronomically rare for double sums, but the rounding-before-argmin
+    discipline exists precisely for such ties."""
+    import math
+
+    return math.floor(x * 10**_D2_DP + 0.5) / 10**_D2_DP
+
+
 def _query_probe_cells(centers: list[list[float]], qv: list[float]) -> list[int]:
     """NPROBE nearest cells for one query vector. Strictly sequential
-    accumulation + 9dp rounding: bitwise-identical to the Spark
+    accumulation + 9dp HALF_UP rounding: bitwise-identical to the Spark
     aggregate and DuckDB list_sum derivations."""
     ds = []
     for cell, c in enumerate(centers):
         acc = 0.0
         for a, b in zip(qv, c):
             acc += (a - b) * (a - b)
-        ds.append((round(acc, _D2_DP), cell))
+        ds.append((_round_half_up(acc), cell))
     ds.sort()
     return [cell for _d, cell in ds[:NPROBE]]
 

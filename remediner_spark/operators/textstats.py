@@ -150,6 +150,18 @@ def md5_hash32_sql(col: str) -> str:
     return f"CAST(('0x' || substring(md5({col}), 1, 8)) AS BIGINT)"
 
 
+def md5_hash60_expr(col):
+    """60-bit md5-prefix hash (15 hex chars): wide enough that birthday
+    collisions stay negligible at 10^12-scale key populations (a 32-bit
+    hash collides ~50% at just ~77k distinct keys), while still fitting
+    a signed BIGINT in both Spark conv() and DuckDB hex CAST."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_hash60_sql(col: str) -> str:
+    return f"CAST(('0x' || substring(md5({col}), 1, 15)) AS BIGINT)"
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     words = F.split(F.col("text"), " ")

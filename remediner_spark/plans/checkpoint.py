@@ -85,6 +85,17 @@ def run_stage(
 
     ``transform`` must preserve the lineage key column. Output lands at
     {checkpoint_dir}/{stage}/ partitioned by _bucket.
+
+    CONTRACT: ``transform`` must consume its input exactly once in the
+    plan feeding the single write action. The bucket metrics ride
+    Observation nodes, which accumulate once per *execution* of the
+    observed subtree — a transform that branches its input (self-join,
+    union of two derivations) without caching re-executes the observed
+    scan and inflates rows_in by the branch count. The commit decision
+    is robust to that (it ORs the input- and output-side counts, and
+    double-counting can only raise a count above zero, never to zero),
+    but the manifest's rows_in lineage stat would overstate; cache the
+    input inside such a transform.
     """
     data_dir = os.path.join(checkpoint_dir, stage)
     bucketed = with_bucket(input_df, n_buckets, key)
@@ -143,7 +154,11 @@ def run_stage(
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
             }
             for b in todo
-            if in_m[f"n_{b}"] > 0
+            # commit on either side's evidence: a key-preserving
+            # transform can drop every row of a bucket (rows_out 0,
+            # rows_in > 0 — still done), and the output-side count
+            # backstops any input-side observation anomaly
+            if in_m[f"n_{b}"] > 0 or out_m[f"on_{b}"] > 0
         ]
         if records:
             _append_manifest(checkpoint_dir, stage, records)

@@ -138,32 +138,95 @@ def q_s1_pipe_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rel_id", "text", "effect", "drug", "e_start", "d_start")
 
 
-def q_kg_final_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed NER->RE inference (the executed numpy final model,
-    operators/final_model.py) over the corpus sentences. Rows-only by
-    design: the output is a function of seeded model weights through
-    two neural forwards — not SQL-expressible; correctness is gated by
-    tests/test_final_model.py (exact Spark==driver differential)."""
+# bump when a model/glue kernel changes the composed-model output, to
+# invalidate the materialized expected-triples parquet
+FINAL_MODEL_ORACLE_VERSION = 1
+
+
+def _final_model():
+    """The gate's composed-model configuration — ONE definition shared
+    by the Spark query and the driver-side oracle materializer, so the
+    two sides can never drift on seeds/shapes."""
     import numpy as np
 
     from ..kernels.re_head import init_re_head_params
     from ..operators.bert_stub import NumpyBertTagger
-    from ..operators.final_model import NumpyFinalModel, final_model_stage
+    from ..operators.final_model import NumpyFinalModel
+
+    re_max_len = 24
+    params = init_re_head_params(
+        7, d_in=48, hidden=16, max_len=re_max_len, reduced=24
+    )
+    params["_d_in"] = np.array([48])
+    return NumpyFinalModel(NumpyBertTagger.seeded(), params, re_max_len)
+
+
+def q_kg_final_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed NER->RE inference (the executed numpy final model,
+    operators/final_model.py) over the corpus sentences. Oracle: the
+    neural forwards are not SQL-expressible, so the expected triples
+    are materialized by an independent driver-side in-process run of
+    the same composition (ensure_final_model_expected) and the DuckDB
+    side is a read_parquet of that file — the same side-file pattern as
+    the IVF centroids (operators/ivf.py). Batch-invariance of the
+    forwards (Spark partitioning == per-sentence driver run) is what
+    makes this sound; it is pinned by tests/test_final_model.py."""
+    from ..operators.final_model import final_model_stage
     from ..operators.text import filter_language, segmented_sentences
 
     pages, _ = _pages_and_dict(spark)
     # segmented_sentences reads only (url, warc_ts, text) — the html
     # binary never crosses Arrow (CLAUDE.md mapInPandas-input rule)
     sentences = segmented_sentences(filter_language(pages)).drop("warc_ts")
-    re_max_len = 24
-    params = init_re_head_params(
-        7, d_in=48, hidden=16, max_len=re_max_len, reduced=24
-    )
-    params["_d_in"] = np.array([48])
-    model_bc = spark.sparkContext.broadcast(
-        NumpyFinalModel(NumpyBertTagger.seeded(), params, re_max_len)
-    )
+    model_bc = spark.sparkContext.broadcast(_final_model())
     return final_model_stage(sentences, model_bc, normalize_input=True)
+
+
+def final_model_expected_path() -> str:
+    import os
+
+    return os.path.join(
+        _fixture_dir(),
+        f"final_model_expected_v{FINAL_MODEL_ORACLE_VERSION}.parquet",
+    )
+
+
+def ensure_final_model_expected() -> str:
+    """Materialize the composed model's expected triples by running the
+    SAME segmentation -> normalization -> NER -> M3/M4 -> RE -> M6
+    chain in-process on the driver (no Spark), over the same fixture
+    pages — the independent derivation tests/test_final_model.py
+    checks the fused stage against. Idempotent (seeded corpus + seeded
+    weights); version-suffixed so kernel changes invalidate it."""
+    import os
+
+    import pandas as pd
+
+    path = final_model_expected_path()
+    if os.path.exists(path):
+        return path
+    from ..kernels.normalize import normalize_series
+    from ..kernels.webtext import split_sentences
+
+    d = _fixture_dir()
+    pages = pd.read_parquet(os.path.join(d, "pages.parquet"))
+    pages = pages[pages["lang"] == "en"]
+    model = _final_model()
+    rows = []
+    for url, sents in zip(pages["url"], split_sentences(pages["text"])):
+        norm = normalize_series(pd.Series(sents, dtype=object))
+        word_lists = [s.split() for s in norm]
+        keep = [i for i, w in enumerate(word_lists) if w]
+        triples = model.extract([word_lists[i] for i in keep])
+        for j, i in enumerate(keep):
+            for s, p, o in triples[j]:
+                rows.append((url, i, s, p, o))
+    exp = pd.DataFrame(
+        rows, columns=["url", "sent_idx", "subj", "pred", "obj"]
+    )
+    exp["sent_idx"] = exp["sent_idx"].astype("int32")
+    exp.to_parquet(path, index=False)
+    return path
 
 
 QUERIES = {
@@ -293,7 +356,12 @@ ids AS (
 def oracles() -> dict[str, str]:
     d = _fixture_dir()
     ctes = _linked_ctes(d)
+    fm_path = ensure_final_model_expected()
     return {
+        "kg_final_model_triples": (
+            f"SELECT url, sent_idx, subj, pred, obj "
+            f"FROM read_parquet('{fm_path}')"
+        ),
         "s1_pipe_scan": f"""
 SELECT rel_id, text, effect, drug, e_start, d_start
 FROM read_csv('{d}/drug_ae.rel', delim='|', header=false, quote='',
