@@ -157,6 +157,26 @@ class NumpyBertTagger:
         )
         return cls(params, max_len=max_len)
 
+    @classmethod
+    def from_state_dict(cls, path: str, n_heads: int = 12,
+                        max_len: int = 128, tokenizer=None,
+                        prefix: str = "bert."):
+        """Build the tagger from a TRAINED checkpoint exported as a
+        plain tensor dict (.npz or pickled {key: ndarray}) in the
+        reference's state_dict naming — torch-free weight ingestion
+        (kernels/state_dict.py). n_heads comes from the HF config
+        (12 for bert-base); prefix='bert.' matches the reference's
+        NerModel wrapper, '' a bare HF checkpoint."""
+        from ..kernels.state_dict import (
+            bert_params_from_state_dict,
+            read_tensor_dict,
+        )
+
+        params = bert_params_from_state_dict(
+            read_tensor_dict(path), n_heads=n_heads, prefix=prefix
+        )
+        return cls(params, max_len=max_len, tokenizer=tokenizer)
+
     def tag_words(self, words: Sequence[str]) -> list[str]:
         return self.tag_words_batch([list(words)])[0]
 

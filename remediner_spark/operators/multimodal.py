@@ -2,19 +2,33 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata, processed by Arrow-batched pandas UDFs over mapInPandas.
-The decode libraries (PIL/ffmpeg/torchaudio) are not present in this
-environment, so the decode step is a clearly-marked deterministic
-stub (`_fake_decode`) / NotImplementedError for real codecs — the
-Spark-side plumbing (schema, batching, UDF signature) is real and
-tested. The synthetic payload is the utf-8 encoding of the document
-text, which keeps the metadata oracle SQL-expressible.
+
+Two decode tiers:
+
+* ``real_decode`` — a REAL pure-python/numpy decoder for the
+  uncompressed public formats PPM/PGM (netpbm P6/P5) and 24-bit
+  BI_RGB BMP: header parse + pixel array, no image libraries. The
+  ``mm_decode_real`` gate entry synthesizes deterministic PPM payloads
+  (pixel value = closed-form function of doc_id and position), decodes
+  them through the real parser in a second mapInPandas hop, and the
+  DuckDB oracle recomputes width/height/per-channel pixel sums from
+  the same closed form — so the parser's output is value-checked, not
+  just shape-checked.
+* ``_fake_decode`` — the stand-in for COMPRESSED codecs (JPEG/ffmpeg
+  etc., libraries absent here), kept for the plumbing-only gate entry;
+  a real deployment swaps PIL/libvips into the same UDF.
+
+The stub payload is the utf-8 encoding of the document text, which
+keeps its metadata oracle SQL-expressible.
 """
 
 from __future__ import annotations
 
+import struct
 import zlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,10 +52,80 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return (n % 640) + 1, (n % 480) + 1, 3
 
 
-def real_decode(payload: bytes):
-    raise NotImplementedError(
-        "image/audio decode requires PIL/ffmpeg, not available in this "
-        "environment; use _fake_decode for plumbing tests"
+def _parse_netpbm(payload: bytes) -> np.ndarray:
+    """PPM (P6) / PGM (P5) binary parser -> uint8 pixels [h, w, c].
+
+    Header grammar per the netpbm spec: magic, width, height, maxval as
+    ascii tokens separated by whitespace, '#' comments running to end
+    of line, exactly ONE whitespace byte after maxval, then the raw
+    sample array (row-major, RGB interleaved for P6)."""
+    pos, tokens = 0, []
+    n = len(payload)
+    while len(tokens) < 4:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < n and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated netpbm header")
+        tokens.append(payload[start:pos])
+    pos += 1  # the single whitespace byte terminating the header
+    magic = tokens[0]
+    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"unsupported netpbm magic {magic!r}")
+    if maxval > 255:
+        raise ValueError("2-byte netpbm samples not supported")
+    c = 3 if magic == b"P6" else 1
+    return np.frombuffer(
+        payload, dtype=np.uint8, count=w * h * c, offset=pos
+    ).reshape(h, w, c)
+
+
+def _parse_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP parser -> uint8 pixels [h, w, 3]
+    in RGB order. Layout per the public BITMAPFILEHEADER/
+    BITMAPINFOHEADER spec: pixel-data offset at byte 10; width/height
+    (int32, positive height = bottom-up) at 18; bpp at 28; compression
+    at 30; rows padded to 4-byte boundaries; samples stored BGR."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (comp,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported "
+                         f"(bpp={bpp}, compression={comp})")
+    bottom_up, h = h_signed > 0, abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def real_decode(payload: bytes) -> np.ndarray:
+    """Decode an UNCOMPRESSED image payload to uint8 pixels [h, w, c] —
+    pure python/numpy, no image libraries. Supported: netpbm P6/P5 and
+    24-bit BI_RGB BMP, dispatched on magic bytes. Compressed codecs
+    (JPEG/PNG/video) still require external libraries; swap PIL/ffmpeg
+    into the same mapInPandas UDF in a real deployment."""
+    magic = bytes(payload[:2])
+    if magic in (b"P6", b"P5"):
+        return _parse_netpbm(bytes(payload))
+    if magic == b"BM":
+        return _parse_bmp(bytes(payload))
+    raise ValueError(
+        f"unsupported image magic {magic!r}: real_decode handles "
+        "uncompressed PPM/PGM/BMP; compressed codecs need PIL/ffmpeg"
     )
 
 
@@ -85,5 +169,100 @@ SELECT doc_id,
 FROM documents"""
 
 
-QUERIES = {"mm_decode_stub": q_mm_decode_stub}
-ORACLES = {"mm_decode_stub": SQL_MM_DECODE}
+# ------------------------------------------------- real decode (PPM) gate
+
+REAL_DECODE_SCHEMA = (
+    "doc_id long, width long, height long, channels long, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def _ppm_dims(doc_id: int) -> tuple[int, int]:
+    return (doc_id % 8) + 2, ((doc_id // 8) % 6) + 2  # (w, h)
+
+
+def encode_ppm_bytes(doc_id: int) -> bytes:
+    """Deterministic synthetic P6 payload: pixel (r, c, ch) =
+    (doc_id*31 + r*7 + c*3 + ch) % 256 — a closed form the DuckDB
+    oracle can recompute, so decoding it value-checks the parser."""
+    w, h = _ppm_dims(doc_id)
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    px = ((doc_id * 31 + r * 7 + c * 3 + ch) % 256).astype(np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def with_ppm_payload(docs: DataFrame) -> DataFrame:
+    """First Python hop: synthesize the binary image column (stands in
+    for reading real image bytes from a source table)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_ppm_bytes(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(fn, "doc_id long, payload binary")
+
+
+def decode_real_stage(docs_with_payload: DataFrame) -> DataFrame:
+    """Second Python hop: the REAL parser over the binary column —
+    dims + per-channel pixel sums (the feature-extract step)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = real_decode(payload)
+                s = px.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (int(doc_id), px.shape[1], px.shape[0], px.shape[2],
+                     int(s[0]), int(s[1 % len(s)]), int(s[2 % len(s)]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels",
+                         "sum_r", "sum_g", "sum_b"],
+            )
+
+    return docs_with_payload.mapInPandas(fn, REAL_DECODE_SCHEMA)
+
+
+def q_mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return decode_real_stage(with_ppm_payload(docs))
+
+
+def _sql_channel_sum(ch: int) -> str:
+    return (
+        "list_aggregate(list_transform(range(0, w * h), i -> "
+        f"(doc_id * 31 + (i // w) * 7 + (i % w) * 3 + {ch}) % 256), 'sum')"
+    )
+
+
+SQL_MM_DECODE_REAL = f"""
+WITH dims AS (
+  SELECT doc_id, (doc_id % 8) + 2 AS w, ((doc_id // 8) % 6) + 2 AS h
+  FROM documents)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST({_sql_channel_sum(0)} AS BIGINT) AS sum_r,
+       CAST({_sql_channel_sum(1)} AS BIGINT) AS sum_g,
+       CAST({_sql_channel_sum(2)} AS BIGINT) AS sum_b
+FROM dims"""
+
+
+QUERIES = {
+    "mm_decode_stub": q_mm_decode_stub,
+    "mm_decode_real": q_mm_decode_real,
+}
+ORACLES = {
+    "mm_decode_stub": SQL_MM_DECODE,
+    "mm_decode_real": SQL_MM_DECODE_REAL,
+}
