@@ -99,19 +99,27 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect_list before the cap would materialize its full posting
     # array on a single reducer before discarding it (OOM at 100 TB).
     # Shingles are list_distinct per doc, so count(*) == doc frequency.
-    rare = (
+    # The filter side is the HEAD set (df > MAX_DF): Zipf's head is
+    # tiny, so AQE turns the anti-join into a broadcast and the
+    # inverted index is shuffled only once (for the collect). A
+    # semi-join against the RARE set would ship nearly every distinct
+    # shingle and re-shuffle inv (measured ~1.8x the whole query wall);
+    # if the head ever outgrows the broadcast threshold, AQE falls back
+    # to a shuffle join — degraded, never wrong.
+    heads = (
         inv.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF))
+        .filter(F.col("df") > MAX_DF)
         .select("shingle")
     )
-    # left-semi against the rare set, THEN collect: every posting list
-    # that reaches collect_list is <= MAX_DF long by construction. Both
-    # aggs and the join hash on `shingle`, so the exchange is reused.
+    # anti-join the heads out, THEN collect: every posting list that
+    # reaches collect_list is <= MAX_DF long by construction. Size-1
+    # lists expand to zero pairs; dropping them post-collect is free.
     postings = (
-        inv.join(rare, "shingle", "left_semi")
+        inv.join(heads, "shingle", "left_anti")
         .groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
     )
     pair_structs = F.flatten(
         F.transform(

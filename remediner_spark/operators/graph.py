@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 
 from .textstats import md5_hash60_expr, md5_hash60_sql
 
-DEFAULT_SALT_BUCKETS = 16
+# salt buckets bound how many tasks a hot key's partial state can
+# spread over, so size them >= the parallelism you want the straggler
+# flattened across (tools/run_skew.py measured 16 salts leaving a
+# 3.5x straggler on 32 cores that 32 salts eliminated). Cold keys pay
+# only a few extra tiny stage-2 rows per key.
+DEFAULT_SALT_BUCKETS = 32
 SAMPLE_URLS = 5
 
 

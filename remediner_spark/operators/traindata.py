@@ -150,6 +150,108 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM c"""
 
 
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 -> held-out "benchmark" subset
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with the held-out evaluation subset — the standard
+    train/test-leakage scrub before pretraining. The eval subset here
+    is a deterministic doc_id slice standing in for an external
+    benchmark table.
+
+    Scale shape: real benchmark suites are tiny next to a 100 TB
+    corpus, so the distinct eval n-gram set is BROADCAST and the
+    contamination join runs map-side over the exploded training
+    shingles; the per-doc hit count is a partial-aggregated groupBy.
+    Nothing corpus-sized ever shuffles on the n-gram key.
+    """
+    from .dedup import _shingles_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", _shingles_expr(F.col("text")).alias("sh")
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    ev = (
+        docs.filter(is_eval)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    tr = docs.filter(~is_eval).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    # shingles are array_distinct per doc, so count(*) == number of
+    # distinct contaminated n-grams in the doc
+    hits = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def sql_decontaminate() -> str:
+    from .dedup import _shingles_sql
+
+    sh = _shingles_sql("text")
+    return f"""
+WITH s AS (SELECT doc_id, {sh} AS sh FROM documents),
+ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM s
+       WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT doc_id, unnest(sh) AS shingle FROM s
+       WHERE doc_id % {EVAL_MOD} <> 0),
+hits AS (SELECT doc_id, count(*) AS n_hits
+         FROM tr JOIN ev USING (shingle) GROUP BY doc_id)
+SELECT s.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM s LEFT JOIN hits h ON s.doc_id = h.doc_id
+WHERE s.doc_id % {EVAL_MOD} <> 0"""
+
+
+TOP_NGRAMS_K = 25
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram frequency statistics: top-k n-grams by document
+    frequency (ties broken lexicographically) — the profiling pass
+    behind stop-shingle lists and contamination heuristics. Count agg
+    gets map-side partials; the global top-k compiles to TakeOrdered
+    (per-partition heap + driver merge of k rows), never a full sort.
+    """
+    from .dedup import _shingles_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        _shingles_expr(F.col("text")).alias("sh")
+    )
+    return (
+        docs.select(F.explode("sh").alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("ngram").asc())
+        .limit(TOP_NGRAMS_K)
+    )
+
+
+def sql_top_ngrams() -> str:
+    from .dedup import _shingles_sql
+
+    sh = _shingles_sql("text")
+    return f"""
+WITH s AS (SELECT doc_id, {sh} AS sh FROM documents),
+inv AS (SELECT unnest(sh) AS ngram FROM s)
+SELECT ngram, count(*) AS df FROM inv GROUP BY ngram
+ORDER BY df DESC, ngram ASC LIMIT {TOP_NGRAMS_K}"""
+
+
 CHUNK_W = 16  # window (whitespace tokens) — sized to the fixture docs
 CHUNK_S = 8  # stride (W - S = overlap)
 
@@ -209,6 +311,8 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "pack_sequences": q_pack_sequences,
     "chunk_documents": q_chunk_documents,
+    "decontaminate": q_decontaminate,
+    "top_ngrams": q_top_ngrams,
 }
 
 ORACLES = {
@@ -216,4 +320,6 @@ ORACLES = {
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "decontaminate": sql_decontaminate(),
+    "top_ngrams": sql_top_ngrams(),
 }

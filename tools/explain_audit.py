@@ -64,10 +64,10 @@ def main() -> int:
         "dedup_embed_cosine": ["!BroadcastNestedLoopJoin", "!CartesianProduct"],
         # the packing prefix table is metadata-sized -> broadcast join
         "pack_sequences": ["BroadcastHashJoin"],
-        # the doc-frequency cap must run as a count agg + semi-join
-        # BEFORE collect_list, so no reducer holds an uncapped posting
-        # array (head stop-shingle OOM at 100 TB)
-        "dedup_ngram_jaccard": ["LeftSemi", "collect_list"],
+        # the doc-frequency cap must run as a count agg + head
+        # anti-join BEFORE collect_list, so no reducer holds an
+        # uncapped posting array (head stop-shingle OOM at 100 TB)
+        "dedup_ngram_jaccard": ["LeftAnti", "collect_list"],
     }
     failures = []
     for name in audit_set:
