@@ -88,9 +88,18 @@ FROM documents GROUP BY lower(trim(text))"""
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", _shingles_expr(F.col("text")).alias("sh")
     )
+    # three consumers below (sizes, df pre-pass, postings) would each
+    # recompute the shingle arrays from the scan; persist so the
+    # split+slice+concat work runs once (measured 2.4x the query wall
+    # uncached at sf0.1). MEMORY_AND_DISK: at 100 TB this spills
+    # rather than evicts — the production-scale form of the same plan
+    # is a checkpoint of (doc_id, sh) to parquet (plans/checkpoint.py).
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     inv = docs.select("doc_id", F.explode("sh").alias("shingle"))
     # doc-frequency cap FIRST, as a count() agg: count keeps O(1) state
