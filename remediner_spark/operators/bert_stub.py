@@ -171,11 +171,26 @@ class NumpyBertTagger:
             bert_params_from_state_dict,
             read_tensor_dict,
         )
+        from ..kernels.wordpiece import WordPieceTokenizer
 
         params = bert_params_from_state_dict(
             read_tensor_dict(path), n_heads=n_heads, prefix=prefix
         )
-        return cls(params, max_len=max_len, tokenizer=tokenizer)
+        tok = tokenizer or WordPieceTokenizer()
+        # a tokenizer whose id space doesn't match the checkpoint's
+        # embedding table would index in-bounds garbage rows and emit
+        # silently wrong tags — make the mismatch loud. The tokenizer
+        # that produced the checkpoint's training data must be passed
+        # (its vocab file defines the row order of `emb`).
+        vocab_rows = params["emb"].shape[0]
+        tok_vocab = len(getattr(tok, "_id_to_tok", ()))
+        if tok_vocab and tok_vocab != vocab_rows:
+            raise ValueError(
+                f"tokenizer vocab size {tok_vocab} != checkpoint "
+                f"embedding rows {vocab_rows}: pass the tokenizer "
+                "(vocab file) the checkpoint was trained with"
+            )
+        return cls(params, max_len=max_len, tokenizer=tok)
 
     def tag_words(self, words: Sequence[str]) -> list[str]:
         return self.tag_words_batch([list(words)])[0]

@@ -99,6 +99,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uncached at sf0.1). MEMORY_AND_DISK: at 100 TB this spills
     # rather than evicts — the production-scale form of the same plan
     # is a checkpoint of (doc_id, sh) to parquet (plans/checkpoint.py).
+    # The cache is not unpersisted (the return is lazy; the action
+    # happens in the caller) — a deliberate, bounded leak, same as
+    # build_graph's branch caches: the block is table-sized, spillable,
+    # and reused by any later query sharing the shingle subtree.
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     inv = docs.select("doc_id", F.explode("sh").alias("shingle"))

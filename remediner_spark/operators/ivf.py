@@ -78,15 +78,26 @@ def _d2_cell_structs(v_col: Column, centers: list[list[float]]) -> Column:
 
 
 def _round_half_up(x: float) -> float:
-    """HALF_UP rounding to _D2_DP decimals — the SAME convention as
-    Spark's F.round and DuckDB's round (both half-away-from-zero for
-    the non-negative d2 here). Python's builtin round() is half-EVEN,
-    which would diverge on a sum landing exactly on a half at 9dp;
-    astronomically rare for double sums, but the rounding-before-argmin
-    discipline exists precisely for such ties."""
+    """HALF_UP rounding of a non-negative double to _D2_DP decimals,
+    evaluated like C round(): the fractional part is compared against
+    0.5 EXACTLY (scaled - floor(scaled) is an exact FP subtraction for
+    scaled < 2^52, which every d2 here satisfies), never via the
+    classic `floor(x + 0.5)` whose addition can round up across the
+    half-boundary (e.g. 0.49999999999999994 + 0.5 == 1.0 in doubles).
+
+    Parity note: this matches DuckDB's round (C-style on the scaled
+    double) and the HALF_UP direction of Spark's F.round; Spark
+    resolves the value through BigDecimal of the double's shortest
+    decimal string, so an input landing within 1 ulp of a .5e-9
+    boundary could still round differently there — astronomically rare
+    for continuous d2 sums, and the 9dp rounding-before-argmin exists
+    precisely to keep every realistic comparison away from such ties.
+    Python's builtin round() (half-EVEN) is deliberately not used."""
     import math
 
-    return math.floor(x * 10**_D2_DP + 0.5) / 10**_D2_DP
+    scaled = x * 10**_D2_DP
+    f = math.floor(scaled)
+    return (f + 1 if scaled - f >= 0.5 else f) / 10**_D2_DP
 
 
 def _query_probe_cells(centers: list[list[float]], qv: list[float]) -> list[int]:

@@ -160,11 +160,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a deterministic doc_id slice standing in for an external
     benchmark table.
 
-    Scale shape: real benchmark suites are tiny next to a 100 TB
-    corpus, so the distinct eval n-gram set is BROADCAST and the
-    contamination join runs map-side over the exploded training
+    Scale shape: real benchmark suites are FIXED-size (a few GB of
+    eval text at most), so their distinct n-gram set broadcasts and
+    the contamination join runs map-side over the exploded training
     shingles; the per-doc hit count is a partial-aggregated groupBy.
-    Nothing corpus-sized ever shuffles on the n-gram key.
+    The join is left to AQE rather than F.broadcast-forced: this
+    fixture's stand-in eval slice is a doc_id fraction (it grows with
+    the corpus), and a hard broadcast hint would OOM past the
+    broadcast limit instead of degrading to a shuffle join.
     """
     from .dedup import _shingles_expr
 
@@ -183,7 +186,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles are array_distinct per doc, so count(*) == number of
     # distinct contaminated n-grams in the doc
     hits = (
-        tr.join(F.broadcast(ev), "shingle")
+        tr.join(ev, "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

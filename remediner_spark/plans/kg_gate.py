@@ -225,7 +225,16 @@ def ensure_final_model_expected() -> str:
         rows, columns=["url", "sent_idx", "subj", "pred", "obj"]
     )
     exp["sent_idx"] = exp["sent_idx"].astype("int32")
-    exp.to_parquet(path, index=False)
+    # tmp + atomic rename (the ivf.py side-file discipline): a crash
+    # mid-write must never leave a truncated parquet behind the
+    # exists() short-circuit above, which would wedge the gate until
+    # manually deleted
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    exp.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
     return path
 
 

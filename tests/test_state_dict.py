@@ -78,10 +78,18 @@ def test_bert_token_type_fold():
 
 def test_bert_tagger_from_state_dict(tmp_path):
     """Operator surface: NumpyBertTagger.from_state_dict tags exactly
-    like a tagger built from the same params directly."""
+    like a tagger built from the same params directly. Params are
+    sized to the real frozen vocab (a checkpoint's embedding rows must
+    match the tokenizer that indexes them)."""
+    from remediner_spark.kernels.wordpiece import WordPieceTokenizer
     from remediner_spark.operators.bert_stub import NumpyBertTagger
 
-    base = NumpyBertTagger.seeded()
+    tok = WordPieceTokenizer()
+    params = init_bert_params(
+        13, vocab=len(tok._id_to_tok), d=32, n_layers=2, n_heads=4,
+        d_ffn=64, max_len=48,
+    )
+    base = NumpyBertTagger(params, max_len=48, tokenizer=tok)
     sd = bert_state_dict_from_params(base._p)
     path = tmp_path / "ner.npz"
     np.savez(path, **sd)
@@ -91,6 +99,19 @@ def test_bert_tagger_from_state_dict(tmp_path):
     words = [["zemtrax", "caused", "severe", "nauseola"],
              ["plain", "words", "only"]]
     assert loaded.tag_words_batch(words) == base.tag_words_batch(words)
+
+
+def test_from_state_dict_vocab_mismatch_is_loud(tmp_path):
+    """A checkpoint whose embedding table doesn't match the tokenizer
+    vocab must refuse to load (silently wrong tags otherwise)."""
+    from remediner_spark.operators.bert_stub import NumpyBertTagger
+
+    base = NumpyBertTagger.seeded()  # vocab=4096 stand-in
+    sd = bert_state_dict_from_params(base._p)
+    path = tmp_path / "ner.npz"
+    np.savez(path, **sd)
+    with pytest.raises(ValueError, match="vocab size"):
+        NumpyBertTagger.from_state_dict(str(path), n_heads=4)
 
 
 def test_re_roundtrip_bitwise(tmp_path):
