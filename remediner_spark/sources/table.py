@@ -108,7 +108,14 @@ def write_table(
     if snapshots:
         prev_schema = snapshots[-1]["schema"]
         cur_schema = df.schema.jsonValue()
-        if prev_schema["fields"] != cur_schema["fields"]:
+        # compare names + types; nullability is not part of the table
+        # contract (path-recovered partition columns come back
+        # non-nullable, and Iceberg likewise treats nullability as
+        # evolvable rather than identity)
+        def _sig(schema):
+            return [(f["name"], f["type"]) for f in schema["fields"]]
+
+        if _sig(prev_schema) != _sig(cur_schema):
             raise ValueError(
                 "schema mismatch vs table schema: "
                 f"{[f['name'] for f in prev_schema['fields']]} != "
@@ -209,6 +216,85 @@ def read_table(
                 F.regexp_extract(F.input_file_name(), f"{col}=([^/]+)", 1),
             )
     return df
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_files_per_partition: int = 1,
+    min_files_per_partition: int = 2,
+) -> dict:
+    """Bin-pack small files (Iceberg `rewrite_data_files`): streaming
+    merges commit one small file set per micro-batch, and at 100 TB
+    the accumulated small files dominate scan planning and open() cost.
+    Rewrites every partition holding more than ``min_files_per_
+    partition`` files down to ``target_files_per_partition`` via
+    coalesce, committing the result as ONE new snapshot with
+    replace_partitions semantics (untouched partitions keep their
+    files; earlier snapshots still time-travel to the pre-compaction
+    files, which stay on disk until expire_snapshots).
+
+    Returns the new snapshot record, or the current one when nothing
+    qualifies. Data equality is byte-for-byte: this only re-groups
+    rows into fewer files.
+    """
+    import pyspark.sql.functions as F
+
+    snapshots = _load_snapshots(path)
+    if not snapshots:
+        raise FileNotFoundError(f"no table at {path}")
+    snap = snapshots[-1]
+    partition_by = snap["partition_by"]
+    if not partition_by:
+        raise ValueError("compact_table requires a partitioned table")
+    by_part: dict[tuple, list[dict]] = {}
+    for f in snap["files"]:
+        by_part.setdefault(tuple(sorted(f["partition"].items())), []).append(f)
+    crowded = {
+        part: files
+        for part, files in by_part.items()
+        if len(files) > min_files_per_partition
+    }
+    if not crowded:
+        return snap
+    values = {k: sorted({dict(p)[k] for p in crowded}) for k in partition_by}
+    df = read_table(spark, path, partition_filter=values)
+    # partition columns come back as strings from the path recovery;
+    # cast them back to the table schema's types or the write-time
+    # schema check would reject the compacted frame
+    types = {
+        f["name"]: f["type"] for f in snap["schema"]["fields"]
+    }
+    for col in partition_by:
+        df = df.withColumn(col, F.col(col).cast(types[col]))
+    df = df.select([f["name"] for f in snap["schema"]["fields"]])
+    compacted = df.repartition(
+        max(len(crowded) * target_files_per_partition, 1), *partition_by
+    )
+    return write_table(
+        compacted, path, mode="replace_partitions", partition_by=partition_by
+    )
+
+
+def expire_snapshots(path: str, keep_last: int = 2) -> dict:
+    """Iceberg `expire_snapshots`: drop all but the newest
+    ``keep_last`` snapshots and DELETE data files no surviving snapshot
+    references (the only operation that ever removes data files —
+    overwrite/replace keep them for time travel). Returns
+    {"removed_snapshots": n, "deleted_files": n}."""
+    snapshots = _load_snapshots(path)
+    if len(snapshots) <= keep_last:
+        return {"removed_snapshots": 0, "deleted_files": 0}
+    kept, dropped = snapshots[-keep_last:], snapshots[:-keep_last]
+    live = {f["path"] for s in kept for f in s["files"]}
+    dead = {
+        f["path"] for s in dropped for f in s["files"] if f["path"] not in live
+    }
+    for fpath in sorted(dead):
+        if os.path.exists(fpath):
+            os.remove(fpath)
+    _save_snapshots(path, kept)
+    return {"removed_snapshots": len(dropped), "deleted_files": len(dead)}
 
 
 def pruned_file_count(

@@ -87,3 +87,32 @@ def test_unsupported_payloads_are_loud():
         real_decode(bytes(bad))
     with pytest.raises(ValueError, match="2-byte"):
         real_decode(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+
+# ------------------------------------------------------- hypothesis fuzz
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+    fmt=st.sampled_from(["ppm", "pgm", "bmp_up", "bmp_down"]),
+)
+def test_codec_roundtrip_fuzz(w, h, seed, fmt):
+    """Any pixel array must survive encode->decode bit-for-bit across
+    all supported formats, dims, and padding widths."""
+    rng = np.random.RandomState(seed)
+    if fmt == "pgm":
+        px = rng.randint(0, 256, size=(h, w, 1), dtype=np.uint8)
+        payload = f"P5\n{w} {h}\n255\n".encode() + px.tobytes()
+    elif fmt == "ppm":
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+    else:
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = _bmp_bytes(px, bottom_up=(fmt == "bmp_up"))
+    assert np.array_equal(real_decode(payload), px)

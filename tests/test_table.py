@@ -74,3 +74,75 @@ def test_empty_filter_returns_empty_with_schema(spark, tmp_path, pages_pdf):
     df = read_table(spark, path, partition_filter={"lang": "xx"})
     assert df.count() == 0
     assert "url" in df.columns
+
+
+def test_replace_partitions_and_compaction(spark, tmp_path, pages_pdf):
+    """replace_partitions rewrites only touched partitions; compaction
+    bin-packs multi-file partitions into one file per partition with
+    identical data; time travel still reaches pre-compaction files."""
+    from remediner_spark.sources.table import compact_table
+
+    path = str(tmp_path / "tbl")
+    # three appends -> each lang partition holds 3 small files
+    for i in range(3):
+        chunk = pages_pdf.iloc[i * 40 : (i + 1) * 40]
+        write_table(
+            spark.createDataFrame(chunk).repartition(1),
+            path, mode="append", partition_by=["lang"],
+        )
+    before = read_table(spark, path).toPandas()
+    snaps = table_snapshots(path)
+    pre_files = {
+        f["path"] for f in __import__(
+            "remediner_spark.sources.table", fromlist=["_load_snapshots"]
+        )._load_snapshots(path)[-1]["files"]
+    }
+    assert len(pre_files) > len(set(before["lang"]))
+
+    snap = compact_table(spark, path)
+    assert snap["snapshot_id"] == len(snaps) + 1
+    after = read_table(spark, path).toPandas()
+    key = ["url"]
+    assert (
+        before.sort_values(key).reset_index(drop=True)["url"].tolist()
+        == after.sort_values(key).reset_index(drop=True)["url"].tolist()
+    )
+    # one file per compacted lang partition
+    post = __import__(
+        "remediner_spark.sources.table", fromlist=["_load_snapshots"]
+    )._load_snapshots(path)[-1]["files"]
+    per_part = {}
+    for f in post:
+        per_part.setdefault(f["partition"]["lang"], 0)
+        per_part[f["partition"]["lang"]] += 1
+    assert max(per_part.values()) == 1
+    # pre-compaction snapshot still readable (old files kept)
+    assert read_table(spark, path, snapshot_id=3).count() == 120
+
+
+def test_expire_snapshots_deletes_orphans(spark, tmp_path, pages_pdf):
+    import os
+
+    from remediner_spark.sources.table import compact_table, expire_snapshots
+
+    path = str(tmp_path / "tbl")
+    for i in range(3):
+        chunk = pages_pdf.iloc[i * 40 : (i + 1) * 40]
+        write_table(
+            spark.createDataFrame(chunk).repartition(1),
+            path, mode="append", partition_by=["lang"],
+        )
+    compact_table(spark, path)
+    from remediner_spark.sources.table import _load_snapshots
+
+    old_files = {f["path"] for f in _load_snapshots(path)[0]["files"]}
+    res = expire_snapshots(path, keep_last=1)
+    assert res["removed_snapshots"] == 3
+    assert res["deleted_files"] > 0
+    # the surviving snapshot is fully readable; orphans are gone
+    assert read_table(spark, path).count() == 120
+    assert any(not os.path.exists(p) for p in old_files)
+    # expiring again is a no-op
+    assert expire_snapshots(path, keep_last=1) == {
+        "removed_snapshots": 0, "deleted_files": 0,
+    }
