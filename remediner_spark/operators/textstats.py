@@ -186,6 +186,57 @@ SELECT doc_id,
 FROM m"""
 
 
+REP_PCT = 95  # repetitive when distinct bigrams < 95% of bigrams
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality metric (the Gopher duplicate-n-gram family):
+    per-doc bigram count, distinct-bigram count, their ratio (6dp),
+    and an integer-compared `repetitive` flag. Map-only expression —
+    the n-gram lists live inside one row, never exploded."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+        ),
+    ).otherwise(F.array(F.col("text")))
+    n_grams = F.size(grams)
+    n_dist = F.size(F.array_distinct(grams))
+    return docs.select(
+        "doc_id",
+        n_grams.cast("long").alias("n_bigrams"),
+        n_dist.cast("long").alias("n_distinct"),
+        F.round(n_dist / n_grams, 6).alias("uniq_ratio"),
+        (n_dist * 100 < REP_PCT * n_grams).alias("repetitive"),
+    )
+
+
+def sql_text_repetition() -> str:
+    w = "string_split(text, ' ')"
+    grams = (
+        f"CASE WHEN len({w}) >= 2 THEN "
+        f"list_transform(range(0, len({w}) - 1), "
+        f"i -> array_to_string({w}[i+1:i+2], ' ')) "
+        f"ELSE [text] END"
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id, {grams} AS grams FROM documents),
+m AS (
+  SELECT doc_id, len(grams) AS n_bigrams,
+         len(list_distinct(grams)) AS n_distinct
+  FROM g)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       round(n_distinct * 1.0 / n_bigrams, 6) AS uniq_ratio,
+       n_distinct * 100 < {REP_PCT} * n_bigrams AS repetitive
+FROM m"""
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
@@ -316,6 +367,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_keywords": q_text_keywords,
     "quality_filter": q_quality_filter,
+    "text_repetition": q_text_repetition,
 }
 
 ORACLES = {
@@ -325,4 +377,5 @@ ORACLES = {
     "text_fingerprint": sql_text_fingerprint(),
     "text_keywords": sql_text_keywords(),
     "quality_filter": sql_quality_filter(),
+    "text_repetition": sql_text_repetition(),
 }

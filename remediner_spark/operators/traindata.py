@@ -220,6 +220,48 @@ FROM s LEFT JOIN hits h ON s.doc_id = h.doc_id
 WHERE s.doc_id % {EVAL_MOD} <> 0"""
 
 
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture reweighting: per-source token shares and the
+    sampling weight that equalizes the mixture (weight = uniform
+    target share / actual token share). The table a pretraining data
+    loader consumes to balance heterogeneous sources. Two tiny aggs +
+    a broadcast of the one-row total — nothing corpus-sized shuffles
+    beyond the per-source partial agg."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("tok")
+    )
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        # integer product first (exact), ONE double division, then the
+        # 6dp round — the same op sequence on both engines
+        F.round(
+            F.col("total_tokens") / (F.col("n_sources") * F.col("n_tokens")), 6
+        ).alias("weight"),
+    )
+
+
+SQL_SOURCE_MIXTURE = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (
+  SELECT sum(n_tokens) AS total_tokens, count(*) AS n_sources FROM per)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(total_tokens / (n_sources * n_tokens), 6) AS weight
+FROM per, tot"""
+
+
 TOP_NGRAMS_K = 25
 
 
@@ -316,6 +358,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "decontaminate": q_decontaminate,
     "top_ngrams": q_top_ngrams,
+    "source_mixture": q_source_mixture,
 }
 
 ORACLES = {
@@ -325,4 +368,5 @@ ORACLES = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "decontaminate": sql_decontaminate(),
     "top_ngrams": sql_top_ngrams(),
+    "source_mixture": SQL_SOURCE_MIXTURE,
 }
