@@ -50,6 +50,87 @@ MULTI_SPACE_FAST = re.compile(r"\s{2,}|[^\S ]")
 EQ_PATTERN = re.compile(r"(\b\w)\s*=\s*")
 
 
+# ---- ASCII fast path for the two hot regex passes -------------------
+#
+# Profiling puts the fused extraction stage's normalize cost almost
+# entirely in two Python-re scans (PUNCT_FAST ~34 ms, MULTI_SPACE_FAST
+# ~21 ms per 4k-page Arrow batch); the scan itself dominates, not
+# per-row call overhead. For pure-ASCII batches (the web-text common
+# case) both patterns decompose into C-speed str.translate plus
+# literal-prefix regexes, which is provably byte-equivalent:
+#
+#   PUNCT_FAST = `'s\b | [^\w\s'.=] | (?<!\d)\.(?!\d)`. The three
+#   alternatives match DISJOINT characters (' s . are all excluded
+#   from the char class), so one simultaneous alternation equals three
+#   sequential passes PROVIDED earlier passes cannot change a later
+#   pass's outcome: every replacement inserts " " — non-word, non-
+#   digit, whitespace — so it cannot create or destroy an `'s`, a
+#   class char, a digit next to a dot, or flip the trailing \b
+#   (punct and space are both non-word). The dot alternative is
+#   rewritten `\.(?<!\d\.)(?!\d)` — identical positions (prev != digit
+#   and next != digit) but with a literal first char, which lets sre
+#   skip-scan instead of trying lookarounds at every offset.
+#
+#   MULTI_SPACE_FAST = `\s{2,} | [^\S ]` with replacement " " maps
+#   every maximal whitespace run containing a non-space or of length
+#   >= 2 to one space. Translating all non-space whitespace to " "
+#   first and then collapsing ` {2,}` yields the same fixed point.
+#
+# Batches are processed as ONE joined string per pass; the separators
+# are invisible to the passes by class membership (\x1c IS whitespace
+# -> inert to the punct class, a \b terminator, and a non-digit, so
+# row boundaries behave exactly like string ends; \x00 is NOT
+# whitespace -> cannot join two rows' runs and is untouched by the
+# whitespace table). Rows containing a separator, NaNs, or any
+# non-ASCII character fall back to the pinned per-row path — the
+# hypothesis differential (test_normalize_differential) exercises
+# both paths (its alphabet includes ASCII-only and Unicode cases).
+_SEP_WS = "\x1c"
+_SEP_NWS = "\x00"
+
+_CLASS_RE = re.compile(r"[^\w\s'.=]")
+_PUNCT_TABLE = str.maketrans(
+    {c: " " for c in map(chr, range(128)) if _CLASS_RE.fullmatch(c)}
+)
+_APOS_S = re.compile(r"'s\b")
+_DOT_GUARDED = re.compile(r"\.(?<!\d\.)(?!\d)")
+_WS_TABLE = str.maketrans(
+    {
+        c: " "
+        for c in map(chr, range(128))
+        if c != " " and re.fullmatch(r"\s", c)
+    }
+)
+_SPACE_RUN = re.compile(r" {2,}")
+
+
+def _joinable(s: pd.Series, sep: str):
+    """The batch joined with `sep`, or None when the fast path is
+    inapplicable (NaNs, separator collision, non-ASCII)."""
+    if s.isna().any():
+        return None
+    big = sep.join(s.to_numpy())
+    if not big.isascii() or s.str.contains(sep, regex=False).any():
+        return None
+    return big
+
+
+def _punct_pass(s: pd.Series) -> pd.Series:
+    big = _joinable(s, _SEP_WS)
+    if big is None:
+        return s.str.replace(PUNCT_FAST, " ", regex=True)
+    big = _DOT_GUARDED.sub(" ", _APOS_S.sub(" ", big.translate(_PUNCT_TABLE)))
+    return pd.Series(big.split(_SEP_WS), index=s.index)
+
+
+def _space_pass(s: pd.Series) -> pd.Series:
+    big = _joinable(s, _SEP_NWS)
+    if big is None:
+        return s.str.replace(MULTI_SPACE_FAST, " ", regex=True)
+    big = _SPACE_RUN.sub(" ", big.translate(_WS_TABLE))
+    return pd.Series(big.split(_SEP_NWS), index=s.index)
+
+
 def normalize_series(s: pd.Series) -> pd.Series:
     """Apply the reference normalization chain R5-R10 to a string Series.
 
@@ -58,10 +139,12 @@ def normalize_series(s: pd.Series) -> pd.Series:
     removal -> whitespace collapse -> `=` tightening.
     """
     s = s.str.strip()
-    s = s.str.replace(PUNCT_FAST, " ", regex=True)
+    s = _punct_pass(s)
     s = s.str.replace("'", "", regex=False)
+    # TRAILING_DOT is $-anchored — anchors don't survive joining; the
+    # pass is cheap per-row (~3 ms/batch), keep it as-is
     s = s.str.replace(TRAILING_DOT, "", regex=True)
-    s = s.str.replace(MULTI_SPACE_FAST, " ", regex=True)
+    s = _space_pass(s)
     # `=` appears in a small fraction of prose rows: restrict the
     # tightening pass to rows that contain one (cheap literal scan)
     has_eq = s.str.contains("=", regex=False).fillna(False)

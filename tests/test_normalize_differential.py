@@ -63,3 +63,35 @@ def test_punct_fast_equals_reference_pattern(text):
     from remediner_spark.kernels.normalize import PUNCT_FAST, PUNCT_PATTERN
 
     assert PUNCT_FAST.sub(" ", text) == PUNCT_PATTERN.sub(" ", text)
+
+
+# ---- ASCII fast-path equivalence (the str.translate decomposition) --
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import pandas as pd
+
+from remediner_spark.kernels import normalize as N
+
+_ASCII = st.text(
+    alphabet=st.characters(min_codepoint=0, max_codepoint=127), max_size=60
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_ASCII, min_size=1, max_size=8))
+def test_punct_fast_path_equals_pattern(rows):
+    s = pd.Series(rows, dtype=object)
+    want = s.str.replace(N.PUNCT_FAST, " ", regex=True)
+    got = N._punct_pass(s)
+    assert got.tolist() == want.tolist()
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_ASCII, min_size=1, max_size=8))
+def test_space_fast_path_equals_pattern(rows):
+    s = pd.Series(rows, dtype=object)
+    want = s.str.replace(N.MULTI_SPACE_FAST, " ", regex=True)
+    got = N._space_pass(s)
+    assert got.tolist() == want.tolist()
