@@ -81,10 +81,21 @@ def _ensure_corpus(spark, sf_name: str) -> tuple[str, int]:
     return corpus_dir, n_pages
 
 
+def _wait_for_idle(threshold: float = 2.0, max_wait_s: int = 300) -> None:
+    """Best-effort guard against noisy-neighbor host load: a burst
+    during the timed runs skews walls 1.5-2x (observed). Bounded so a
+    persistently-busy host still benches rather than hanging."""
+    waited = 0
+    while os.getloadavg()[0] >= threshold and waited < max_wait_s:
+        time.sleep(15)
+        waited += 15
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_name = os.path.basename(sf_dir.rstrip("/"))
+    _wait_for_idle()
 
     import __spark_entry__ as entrymod
     from remediner_spark.operators.ner import extract_triples_stage

@@ -177,14 +177,65 @@ ranked AS (
 SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {TOP_K}"""
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the 4x memory lever for
+    ANN at scale: int8 codes + one float scale per vector). Map-only:
+    scale = max|v| / 127, q_i = round(v_i * 127 / max|v|). Output
+    carries the codes as CSV (the gate canonicalizer can't hash list
+    columns) plus exact integer stats pinning the whole code vector.
+    Rounding: Spark HALF_UP and DuckDB's C round agree away-from-zero;
+    a component landing within 1 ulp of a .5 boundary is the same
+    documented residual as the IVF d2 discipline (ivf._round_half_up).
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    maxabs = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    with_m = emb.withColumn("maxabs", maxabs).filter(F.col("maxabs") > 0)
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.round(x * 127 / F.col("maxabs"), 0).cast("int"),
+    )
+    return with_m.select(
+        "vec_id",
+        F.round(F.col("maxabs") / 127, 9).alias("scale"),
+        F.concat_ws(",", q.cast("array<string>")).alias("q_csv"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("qsum"),
+        F.array_min(q).cast("long").alias("qmin"),
+        F.array_max(q).cast("long").alias("qmax"),
+    )
+
+
+SQL_EMBED_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+m AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS maxabs
+  FROM e),
+q AS (
+  SELECT vec_id, maxabs,
+         list_transform(v, x -> CAST(round(x * 127 / maxabs, 0) AS INT)) AS qv
+  FROM m WHERE maxabs > 0)
+SELECT vec_id, round(maxabs / 127, 9) AS scale,
+       array_to_string(qv, ',') AS q_csv,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS qsum,
+       CAST(list_aggregate(qv, 'min') AS BIGINT) AS qmin,
+       CAST(list_aggregate(qv, 'max') AS BIGINT) AS qmax
+FROM q"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "sim_topk_lsh": q_sim_topk_lsh,
+    "embed_quantize": q_embed_quantize,
 }
 
 ORACLES = {
     "sim_topk_bruteforce": SQL_SIM_TOPK,
     "sim_lsh_buckets": SQL_SIM_LSH_BUCKETS,
     "sim_topk_lsh": SQL_SIM_TOPK_LSH,
+    "embed_quantize": SQL_EMBED_QUANTIZE,
 }
