@@ -282,6 +282,71 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2"""
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: per-user event streams split into
+    sessions wherever inactivity exceeds SESSION_GAP_US, then one row
+    per session (bounds + exact counts). The standard clickstream
+    operator: lag -> boundary flag -> running sum = session index, all
+    over ONE per-user window (a single shuffle on user_id; session
+    aggregation reuses the partitioning). Gap arithmetic is integer
+    microseconds (unix_micros / epoch_us) — exact cross-engine; ties
+    on ts break by event_id so the boundary flags are deterministic."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet carries TIMESTAMP_NTZ (pandas writer); unix_micros wants
+    # TIMESTAMP. The cast applies the session-tz offset, which cancels
+    # in gap DIFFERENCES, so sessions are identical to DuckDB's
+    # tz-free epoch_us under any fixed-offset session timezone (the
+    # container default is UTC — DST-free by construction).
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    new_session = F.when(
+        prev_us.isNull() | (us - prev_us > SESSION_GAP_US), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        events.withColumn("_new", new_session)
+        .withColumn("session_idx", F.sum("_new").over(run).cast("long"))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type, value, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events),
+f AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                   OR us - prev_us > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_s
+  FROM o),
+s AS (
+  SELECT *, sum(new_s) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM f)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events, min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(DISTINCT event_type) AS n_types,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, session_idx"""
+
+
 QUERIES = {
     "r1_project_drop": q_r1_project_drop,
     "r2_distinct": q_r2_distinct,
@@ -296,6 +361,7 @@ QUERIES = {
     "agg_two_phase": q_agg_two_phase,
     "window_topk": q_window_topk,
     "window_tumbling_agg": q_window_tumbling_agg,
+    "sessionize": q_sessionize,
 }
 
 ORACLES = {
@@ -312,4 +378,5 @@ ORACLES = {
     "agg_two_phase": SQL_AGG_TWO_PHASE,
     "window_topk": SQL_WINDOW_TOPK,
     "window_tumbling_agg": SQL_WINDOW_TUMBLING,
+    "sessionize": SQL_SESSIONIZE,
 }
