@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docpipe,
         ivf,
         multimodal,
+        olap,
         relational,
         similarity,
         textstats,
@@ -100,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(similarity.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(traindata.QUERIES)
+    out.update(olap.QUERIES)
     out.update(kg_gate.QUERIES)
     # every callable ships the package to executors first (cwd-proof)
     return {name: _wrap(fn) for name, fn in out.items()}
@@ -112,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         docpipe,
         ivf,
         multimodal,
+        olap,
         relational,
         similarity,
         textstats,
@@ -131,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.ORACLES)
     out.update(multimodal.ORACLES)
     out.update(traindata.ORACLES)
+    out.update(olap.ORACLES)
     # end-to-end KG pipeline over the materialized corpus fixture: the
     # oracle reads the pandas-gold triples parquet and re-derives
     # linking/nodes/edges relationally in DuckDB (plans/kg_gate.py)

@@ -1,0 +1,150 @@
+"""Canonical OLAP queries over the warehouse tables (TPC-H shapes).
+
+The engine's relational breadth demonstrated on the two most-cited
+TPC-H forms, re-expressed with this repo's integer-first oracle
+discipline: all money/discount/tax arithmetic runs on exact integer
+cents (round(x*100) at ingest, integer products and sums thereafter),
+so Spark and DuckDB agree bit-for-bit with no float-summation-order
+exposure; the only double ops are final single divisions of exact
+integers, rounded 6dp identically on both engines.
+
+* ``tpch_q1`` — pricing summary report: scan-filter on l_shipdate
+  (pushed to parquet), 4-group aggregate with map-side partials.
+  Sum magnitudes stay < 2^63 under Spark 4 ANSI (cents*1e4 scaled
+  charge over sf0.1's row count is ~1e16).
+* ``tpch_q3`` — shipping-priority revenue: BROADCAST the customer
+  dimension (vocabulary-sized), shuffle-join orders<->lineitem on
+  orderkey, top-10 via TakeOrdered (per-partition heap, never a
+  global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Q1_CUTOFF = "1998-09-02"
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1997-06-30"
+Q3_TOPN = 10
+
+
+def _cents(col):
+    return F.round(col * 100, 0).cast("long")
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp_ntz")
+    )
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    ep_c = _cents(F.col("l_extendedprice"))
+    disc = _cents(F.col("l_discount"))  # discount in integer percent*1
+    tax = _cents(F.col("l_tax"))
+    pre = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        qty.alias("qty"),
+        ep_c.alias("ep_c"),
+        disc.alias("disc"),
+        tax.alias("tax"),
+        (ep_c * (100 - disc)).alias("disc_price_c"),
+        (ep_c * (100 - disc) * (100 + tax)).alias("charge_c"),
+    )
+    agg = pre.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.sum("ep_c").alias("sum_base_price_c"),
+        F.sum("disc_price_c").alias("sum_disc_price_c"),
+        F.sum("charge_c").alias("sum_charge_c"),
+        F.count(F.lit(1)).alias("count_order"),
+        F.sum("disc").alias("_sum_disc"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price_c",
+        "sum_disc_price_c",
+        "sum_charge_c",
+        F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(
+            F.col("sum_base_price_c") / F.col("count_order"), 6
+        ).alias("avg_price_c"),
+        F.round(F.col("_sum_disc") / F.col("count_order"), 6).alias(
+            "avg_disc_pct"
+        ),
+        "count_order",
+    )
+
+
+SQL_TPCH_Q1 = f"""
+WITH pre AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS ep_c,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS disc,
+         CAST(round(l_tax * 100, 0) AS BIGINT) AS tax
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00')
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(ep_c) AS BIGINT) AS sum_base_price_c,
+       CAST(sum(ep_c * (100 - disc)) AS BIGINT) AS sum_disc_price_c,
+       CAST(sum(ep_c * (100 - disc) * (100 + tax)) AS BIGINT)
+         AS sum_charge_c,
+       round(sum(qty) * 1.0 / count(*), 6) AS avg_qty,
+       round(sum(ep_c) * 1.0 / count(*), 6) AS avg_price_c,
+       round(sum(disc) * 1.0 / count(*), 6) AS avg_disc_pct,
+       count(*) AS count_order
+FROM pre GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp_ntz")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp_ntz")
+    )
+    rev_c = _cents(F.col("l_extendedprice")) * (
+        100 - _cents(F.col("l_discount"))
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev_c).alias("revenue_c"))
+        .orderBy(F.col("revenue_c").desc(), F.col("l_orderkey").asc())
+        .limit(Q3_TOPN)
+    )
+
+
+SQL_TPCH_Q3 = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+            AS BIGINT) AS revenue_c
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_c DESC, l_orderkey ASC LIMIT {Q3_TOPN}"""
+
+
+QUERIES = {
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+}
+
+ORACLES = {
+    "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
+}

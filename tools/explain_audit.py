@@ -44,6 +44,7 @@ def main() -> int:
         "dedup_embed_cosine",    # banded LSH, not all-pairs
         "dedup_ngram_jaccard",   # df-cap semi-join BEFORE collect_list
         "pack_sequences",        # broadcast prefix join
+        "tpch_q3",               # broadcast dim, shuffle fact join
     ]
     checks = {
         "r13_word_explode": ["PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"],
@@ -68,6 +69,10 @@ def main() -> int:
         # anti-join BEFORE collect_list, so no reducer holds an
         # uncapped posting array (head stop-shingle OOM at 100 TB)
         "dedup_ngram_jaccard": ["LeftAnti", "collect_list"],
+        # customer dim broadcast; shipdate/orderdate filters pushed to
+        # the parquet scans; top-10 via TakeOrdered, not a global sort
+        "tpch_q3": ["BroadcastHashJoin", "PushedFilters: [IsNotNull(l_shipdate)",
+                    "TakeOrderedAndProject"],
     }
     failures = []
     for name in audit_set:
