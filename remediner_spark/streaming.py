@@ -90,6 +90,57 @@ def stream_triples(
     )
 
 
+def stream_linked_mentions(
+    spark: SparkSession,
+    pages_dir: str,
+    dictionary: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    tagger_bc,
+    lang: str = "en",
+):
+    """Streaming KG mention linking: pages stream -> fused extraction
+    -> mention rows -> exact dictionary linking (stream-static
+    broadcast join) -> parquet, all stateless and therefore valid in
+    append mode with no watermark. Unlinked mentions carry a stable
+    negative synthetic id (operators/graph.synthetic_entity_id) so the
+    stream output is immediately graph-joinable; the MinHash-LSH
+    residual linker needs aggregation state and runs as the periodic
+    batch pass over the accumulated `link_method='unlinked'` rows (the
+    standard streaming/batch split)."""
+    from .operators.graph import synthetic_entity_id
+    from .operators.linking import exact_dict_link, mentions_from_triples
+
+    pages = stream_pages(spark, pages_dir).filter(F.col("lang") == lang)
+    triples = extract_triples_stage(pages, tagger_bc)
+    linked = exact_dict_link(mentions_from_triples(triples), dictionary)
+    out = linked.select(
+        "url",
+        "warc_ts",
+        "sent_idx",
+        "surface_norm",
+        "entity_type",
+        F.coalesce(
+            F.col("canonical_id"),
+            synthetic_entity_id(F.col("surface_norm"), F.col("entity_type")),
+        ).alias("entity_id"),
+        F.coalesce(F.col("canonical_name"), F.col("surface_norm")).alias(
+            "node_name"
+        ),
+        F.when(F.col("canonical_id").isNotNull(), F.lit("dict"))
+        .otherwise(F.lit("unlinked"))
+        .alias("link_method"),
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_edge_weights(
     spark: SparkSession,
     pages_dir: str,

@@ -134,3 +134,61 @@ def test_replayed_batch_id_is_noop(spark, tmp_path, tagger_bc):
     q2.awaitTermination(120)
     after = read_table(spark, table).agg(F.sum("weight")).collect()[0][0]
     assert before == after
+
+
+def test_stream_linked_mentions_match_batch(spark, tmp_path, tagger_bc):
+    """Streaming exact dict-linking == the batch linker's dict stage
+    (same helper) with synthetic ids for residuals."""
+    import pandas as pd
+
+    from remediner_spark.operators.graph import synthetic_entity_id
+    from remediner_spark.operators.linking import (
+        exact_dict_link,
+        mentions_from_triples,
+    )
+    from remediner_spark.sources.corpus import generate_entity_dictionary
+    from remediner_spark.streaming import stream_linked_mentions
+
+    pages_dir, _ = _write_pages_split(tmp_path, n_pages=80)
+    dictionary = spark.createDataFrame(generate_entity_dictionary())
+    out = str(tmp_path / "linked_stream")
+    ckpt = str(tmp_path / "ckpt_linked")
+    q = stream_linked_mentions(
+        spark, pages_dir, dictionary, out, ckpt, tagger_bc
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["url", "sent_idx", "surface_norm", "entity_type"])
+        .reset_index(drop=True)
+    )
+    pages_df = filter_language(spark.read.parquet(pages_dir))
+    exact = exact_dict_link(
+        mentions_from_triples(extract_triples_stage(pages_df, tagger_bc)),
+        dictionary,
+    )
+    want = (
+        exact.select(
+            "url", "warc_ts", "sent_idx", "surface_norm", "entity_type",
+            F.coalesce(
+                F.col("canonical_id"),
+                synthetic_entity_id(
+                    F.col("surface_norm"), F.col("entity_type")
+                ),
+            ).alias("entity_id"),
+            F.coalesce(
+                F.col("canonical_name"), F.col("surface_norm")
+            ).alias("node_name"),
+            F.when(F.col("canonical_id").isNotNull(), F.lit("dict"))
+            .otherwise(F.lit("unlinked"))
+            .alias("link_method"),
+        )
+        .toPandas()
+        .sort_values(["url", "sent_idx", "surface_norm", "entity_type"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert set(got["link_method"]) == {"dict", "unlinked"}
+    pd.testing.assert_frame_equal(got[want.columns], want)
