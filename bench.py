@@ -81,14 +81,19 @@ def _ensure_corpus(spark, sf_name: str) -> tuple[str, int]:
     return corpus_dir, n_pages
 
 
-def _wait_for_idle(threshold: float = 2.0, max_wait_s: int = 300) -> None:
+def _wait_for_idle(threshold: float = 2.0, max_wait_s: int = 600) -> None:
     """Best-effort guard against noisy-neighbor host load: a burst
     during the timed runs skews walls 1.5-2x (observed). Bounded so a
-    persistently-busy host still benches rather than hanging."""
+    persistently-busy host still benches rather than hanging. The
+    single home of this logic — tools/run_scaling.py relies on it
+    running inside each bench subprocess."""
     waited = 0
     while os.getloadavg()[0] >= threshold and waited < max_wait_s:
         time.sleep(15)
         waited += 15
+    if waited:
+        print(f"# waited {waited}s for host load < {threshold}",
+              file=sys.stderr)
 
 
 def main() -> int:

@@ -106,8 +106,10 @@ _SPACE_RUN = re.compile(r" {2,}")
 
 def _joinable(s: pd.Series, sep: str):
     """The batch joined with `sep`, or None when the fast path is
-    inapplicable (NaNs, separator collision, non-ASCII)."""
-    if s.isna().any():
+    inapplicable (empty batch — ''.join([]) would split back to ONE
+    empty string against a 0-length index — NaNs, separator collision,
+    non-ASCII)."""
+    if len(s) == 0 or s.isna().any():
         return None
     big = sep.join(s.to_numpy())
     if not big.isascii() or s.str.contains(sep, regex=False).any():

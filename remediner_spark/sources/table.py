@@ -101,8 +101,14 @@ def write_table(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    properties: dict | None = None,
 ) -> dict:
-    """Write a snapshot; returns the snapshot record."""
+    """Write a snapshot; returns the snapshot record.
+
+    ``properties`` rides inside the snapshot record (committed in the
+    SAME atomic manifest rename as the data) — the Iceberg
+    snapshot-properties mechanism writers use for exactly-once
+    bookkeeping (e.g. streaming (scope, batch_id) markers)."""
     partition_by = partition_by or []
     snapshots = _load_snapshots(path)
     if snapshots:
@@ -158,7 +164,10 @@ def write_table(
     else:
         raise ValueError(f"unsupported mode {mode!r}")
     snapshot = {
-        "snapshot_id": len(snapshots) + 1,
+        # max+1, NOT len+1: expire_snapshots shrinks the list, and a
+        # length-derived id would collide with a surviving snapshot,
+        # corrupting time travel
+        "snapshot_id": (snapshots[-1]["snapshot_id"] + 1) if snapshots else 1,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "mode": mode,
         "commit": commit_id,
@@ -166,6 +175,7 @@ def write_table(
         "partition_by": partition_by,
         "files": files,
         "total_rows": sum(f["rows"] for f in files),
+        "properties": properties or {},
     }
     _save_snapshots(path, snapshots + [snapshot])
     return snapshot
@@ -221,18 +231,21 @@ def read_table(
 def compact_table(
     spark: SparkSession,
     path: str,
-    target_files_per_partition: int = 1,
     min_files_per_partition: int = 2,
 ) -> dict:
     """Bin-pack small files (Iceberg `rewrite_data_files`): streaming
     merges commit one small file set per micro-batch, and at 100 TB
     the accumulated small files dominate scan planning and open() cost.
     Rewrites every partition holding more than ``min_files_per_
-    partition`` files down to ``target_files_per_partition`` via
-    coalesce, committing the result as ONE new snapshot with
-    replace_partitions semantics (untouched partitions keep their
-    files; earlier snapshots still time-travel to the pre-compaction
-    files, which stay on disk until expire_snapshots).
+    partition`` files down to one file per partition value (the
+    repartition hashes whole partition values, so one output file per
+    value is the natural grain), committing the result as ONE new
+    snapshot with replace_partitions semantics. Only the EXACT crowded
+    partitions are read and rewritten — selection is by their file
+    paths from the manifest, never a per-column filter (which would
+    cross-product over multi-column partition specs and rewrite
+    untouched partitions). Earlier snapshots still time-travel to the
+    pre-compaction files, which stay on disk until expire_snapshots.
 
     Returns the new snapshot record, or the current one when nothing
     qualifies. Data equality is byte-for-byte: this only re-groups
@@ -257,20 +270,21 @@ def compact_table(
     }
     if not crowded:
         return snap
-    values = {k: sorted({dict(p)[k] for p in crowded}) for k in partition_by}
-    df = read_table(spark, path, partition_filter=values)
-    # partition columns come back as strings from the path recovery;
-    # cast them back to the table schema's types or the write-time
-    # schema check would reject the compacted frame
-    types = {
-        f["name"]: f["type"] for f in snap["schema"]["fields"]
-    }
+    paths = [f["path"] for files in crowded.values() for f in files]
+    df = spark.read.parquet(*paths)
+    # partition columns are pruned out of the data files; recover them
+    # from the file paths and cast back to the table schema's types
+    # (the write-time schema check compares names+types)
+    types = {f["name"]: f["type"] for f in snap["schema"]["fields"]}
     for col in partition_by:
+        if col not in df.columns:
+            df = df.withColumn(
+                col,
+                F.regexp_extract(F.input_file_name(), f"{col}=([^/]+)", 1),
+            )
         df = df.withColumn(col, F.col(col).cast(types[col]))
     df = df.select([f["name"] for f in snap["schema"]["fields"]])
-    compacted = df.repartition(
-        max(len(crowded) * target_files_per_partition, 1), *partition_by
-    )
+    compacted = df.repartition(max(len(crowded), 1), *partition_by)
     return write_table(
         compacted, path, mode="replace_partitions", partition_by=partition_by
     )

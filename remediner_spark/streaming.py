@@ -164,27 +164,50 @@ def stream_edge_weights(
       (weight := sum, first_seen := min), and commits the rewritten
       buckets with ``mode='replace_partitions'`` — one new snapshot per
       micro-batch, so the edge table is time-travelable across batches;
-    * replays are idempotent: foreachBatch can re-deliver a batch after
-      failure, so the last merged batch id is recorded in a sidecar and
-      replays are skipped (the batch-id guard is the standard
-      exactly-once recipe for non-transactional foreachBatch sinks).
+    * replays are idempotent AND scoped: foreachBatch can re-deliver a
+      batch after failure, so the last merged (scope, batch_id) rides
+      INSIDE the snapshot record (write_table properties — one atomic
+      manifest commit covers data + marker, so a crash between data
+      and bookkeeping is impossible) and replays of the SAME stream
+      instance are skipped. The scope is the checkpoint location —
+      batch ids are only meaningful per checkpoint (Delta's txn appId
+      convention): a new stream instance with a fresh checkpoint is
+      new data and merges from its batch 0.
 
     At 10^12 docs the per-batch work scales with the DELTA (touched
     buckets), not the table: n_buckets rises so each bucket stays
     rewrite-sized, exactly like Iceberg bucket partitioning.
     """
-    import json
-    import os
+    merge_batch = edge_merge_fn(spark, table_path, checkpoint_dir, n_buckets)
+    pages = stream_pages(spark, pages_dir).filter(F.col("lang") == lang)
+    triples = extract_triples_stage(pages, tagger_bc)
+    return (
+        triples.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
-    from .sources.table import read_table, write_table
 
-    batch_marker = os.path.join(table_path, "_metadata", "last_batch.json")
+def edge_merge_fn(spark: SparkSession, table_path: str, scope: str,
+                  n_buckets: int):
+    """The foreachBatch merge for stream_edge_weights, factored out so
+    tests can drive redelivery directly. ``scope`` identifies the
+    stream instance (the checkpoint location in production)."""
+    from .sources.table import _load_snapshots, read_table, write_table
+
+    def last_merged_batch() -> int:
+        # most recent snapshot carrying THIS scope's marker (other
+        # writers — compaction, other streams — may commit in between)
+        for s in reversed(_load_snapshots(table_path)):
+            props = s.get("properties") or {}
+            if props.get("scope") == scope:
+                return int(props["batch_id"])
+        return -1
 
     def merge_batch(batch_df, batch_id: int) -> None:
-        if os.path.exists(batch_marker):
-            with open(batch_marker) as f:
-                if batch_id <= json.load(f)["batch_id"]:
-                    return  # replayed batch — already merged
+        if batch_id <= last_merged_batch():
+            return  # redelivered micro-batch — already committed
         deltas = (
             batch_df.groupBy("subj", "pred", "obj")
             .agg(
@@ -221,23 +244,12 @@ def stream_edge_weights(
                 merged, table_path,
                 mode="replace_partitions" if current is not None else "overwrite",
                 partition_by=["bucket"],
+                properties={"scope": scope, "batch_id": int(batch_id)},
             )
-            os.makedirs(os.path.dirname(batch_marker), exist_ok=True)
-            tmp = batch_marker + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"batch_id": batch_id}, f)
-            os.replace(tmp, batch_marker)
         finally:
             deltas.unpersist()
 
-    pages = stream_pages(spark, pages_dir).filter(F.col("lang") == lang)
-    triples = extract_triples_stage(pages, tagger_bc)
-    return (
-        triples.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return merge_batch
 
 
 def stream_dedup_first_seen(

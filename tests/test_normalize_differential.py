@@ -80,7 +80,7 @@ _ASCII = st.text(
 
 
 @settings(max_examples=300, deadline=None)
-@given(st.lists(_ASCII, min_size=1, max_size=8))
+@given(st.lists(_ASCII, min_size=0, max_size=8))
 def test_punct_fast_path_equals_pattern(rows):
     s = pd.Series(rows, dtype=object)
     want = s.str.replace(N.PUNCT_FAST, " ", regex=True)
@@ -89,7 +89,7 @@ def test_punct_fast_path_equals_pattern(rows):
 
 
 @settings(max_examples=300, deadline=None)
-@given(st.lists(_ASCII, min_size=1, max_size=8))
+@given(st.lists(_ASCII, min_size=0, max_size=8))
 def test_space_fast_path_equals_pattern(rows):
     s = pd.Series(rows, dtype=object)
     want = s.str.replace(N.MULTI_SPACE_FAST, " ", regex=True)

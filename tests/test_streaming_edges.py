@@ -93,47 +93,54 @@ def test_stream_edges_match_batch(spark, tmp_path, tagger_bc):
     sel, total = pruned_file_count(table, {"bucket": 0})
     assert 0 < sel < total
 
-    # replay/restart: re-running against the same checkpoint with an
+    # restart: re-running against the same checkpoint with an
     # exhausted source produces no new batches and therefore no new
-    # snapshots; the batch-id marker is unchanged
-    import json
+    # snapshots; the (scope, batch_id) marker rides in the snapshots
+    from remediner_spark.sources.table import _load_snapshots
 
-    marker = os.path.join(table, "_metadata", "last_batch.json")
-    with open(marker) as f:
-        last = json.load(f)["batch_id"]
+    last_props = _load_snapshots(table)[-1]["properties"]
+    assert last_props["scope"] == ckpt and last_props["batch_id"] >= 0
     n_snaps = len(table_snapshots(table))
     q2 = stream_edge_weights(
         spark, pages_dir, table, ckpt, tagger_bc, n_buckets=N_BUCKETS
     )
     q2.awaitTermination(120)
     assert len(table_snapshots(table)) == n_snaps
-    with open(marker) as f:
-        assert json.load(f)["batch_id"] == last
+    assert _load_snapshots(table)[-1]["properties"] == last_props
 
 
 def test_replayed_batch_id_is_noop(spark, tmp_path, tagger_bc):
-    """Direct exactly-once check: a foreachBatch redelivery (same
-    batch_id) must not double-count. Simulated by merging the same
-    batch id twice through a fresh table's merge path."""
+    """Direct exactly-once semantics, driven through the factored
+    merge function: a redelivery (same scope, same batch_id) is a
+    no-op; a DIFFERENT stream instance (new scope) is new data and
+    merges — the guard must never eat a legitimate new stream."""
+    from remediner_spark.streaming import edge_merge_fn
+
     pages_dir, _ = _write_pages_split(tmp_path, n_pages=40)
     table = str(tmp_path / "edges_replay")
-    ckpt = str(tmp_path / "ckpt_replay")
-    q = stream_edge_weights(
-        spark, pages_dir, table, ckpt, tagger_bc, n_buckets=N_BUCKETS
+    pages_df = filter_language(spark.read.parquet(pages_dir))
+    batch = extract_triples_stage(pages_df, tagger_bc)
+
+    merge_a = edge_merge_fn(spark, table, scope="ckpt-a", n_buckets=N_BUCKETS)
+    merge_a(batch, 0)
+    once = read_table(spark, table).agg(F.sum("weight")).collect()[0][0]
+    merge_a(batch, 0)  # redelivered micro-batch
+    assert (
+        read_table(spark, table).agg(F.sum("weight")).collect()[0][0] == once
     )
-    q.awaitTermination(120)
-    before = (
+    # a different stream instance's batch 0 is NEW data
+    merge_b = edge_merge_fn(spark, table, scope="ckpt-b", n_buckets=N_BUCKETS)
+    merge_b(batch, 0)
+    assert (
         read_table(spark, table).agg(F.sum("weight")).collect()[0][0]
+        == 2 * once
     )
-    # redeliver: a second stream over the same source with a FRESH
-    # checkpoint re-sends batch 0 — the table marker must reject it
-    q2 = stream_edge_weights(
-        spark, pages_dir, table, str(tmp_path / "ckpt_replay2"),
-        tagger_bc, n_buckets=N_BUCKETS,
+    # and scope-a's guard survives scope-b's interleaved commits
+    merge_a(batch, 0)
+    assert (
+        read_table(spark, table).agg(F.sum("weight")).collect()[0][0]
+        == 2 * once
     )
-    q2.awaitTermination(120)
-    after = read_table(spark, table).agg(F.sum("weight")).collect()[0][0]
-    assert before == after
 
 
 def test_stream_linked_mentions_match_batch(spark, tmp_path, tagger_bc):

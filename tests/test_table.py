@@ -146,3 +146,27 @@ def test_expire_snapshots_deletes_orphans(spark, tmp_path, pages_pdf):
     assert expire_snapshots(path, keep_last=1) == {
         "removed_snapshots": 0, "deleted_files": 0,
     }
+
+
+def test_snapshot_ids_unique_after_expiry(spark, tmp_path, pages_pdf):
+    """Regression: snapshot ids were len(snapshots)+1, so a write after
+    expire_snapshots reused a surviving id, corrupting time travel."""
+    from remediner_spark.sources.table import expire_snapshots
+
+    path = str(tmp_path / "tbl")
+    for i in range(3):
+        chunk = pages_pdf.iloc[i * 40 : (i + 1) * 40]
+        write_table(
+            spark.createDataFrame(chunk), path, mode="append",
+            partition_by=["lang"],
+        )
+    expire_snapshots(path, keep_last=2)  # ids [2, 3] survive
+    s4 = write_table(
+        spark.createDataFrame(pages_pdf.iloc[:10]), path, mode="append",
+        partition_by=["lang"],
+    )
+    assert s4["snapshot_id"] == 4
+    ids = [s["snapshot_id"] for s in table_snapshots(path)]
+    assert len(ids) == len(set(ids)) == 3
+    # time travel to a surviving pre-expiry snapshot still works
+    assert read_table(spark, path, snapshot_id=3).count() == 120

@@ -21,24 +21,9 @@ CORES = [4, 8, 16, 32]
 SCALING_TILE = "20"  # 2M pages: fixed costs amortize
 
 
-def wait_for_idle(threshold: float = 2.0, max_wait_s: int = 900) -> None:
-    """Block until the 1-min load average drops below `threshold`.
-
-    The sandbox host has noisy neighbors; a burst during a high-core
-    leg inverts the curve (observed: local[32] slower than local[16]
-    under load 13) and corrupts the scaling evidence. Waiting is
-    cheaper than re-running four legs."""
-    waited = 0
-    while os.getloadavg()[0] >= threshold and waited < max_wait_s:
-        time.sleep(30)
-        waited += 30
-    if waited:
-        print(f"# waited {waited}s for load "
-              f"{os.getloadavg()[0]:.2f} < {threshold}", file=sys.stderr)
-
-
 def run_bench(cores: int, sf_dir: str) -> dict:
-    wait_for_idle()
+    # bench.py itself waits for host load to settle (_wait_for_idle);
+    # ONE guard, inside the subprocess, so the logic has a single home
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cores),
