@@ -112,20 +112,56 @@ def _parse_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1]  # BGR -> RGB
 
 
-def real_decode(payload: bytes) -> np.ndarray:
-    """Decode an UNCOMPRESSED image payload to uint8 pixels [h, w, c] —
-    pure python/numpy, no image libraries. Supported: netpbm P6/P5 and
-    24-bit BI_RGB BMP, dispatched on magic bytes. Compressed codecs
-    (JPEG/PNG/video) still require external libraries; swap PIL/ffmpeg
-    into the same mapInPandas UDF in a real deployment."""
-    magic = bytes(payload[:2])
-    if magic in (b"P6", b"P5"):
+def _parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Uncompressed 16-bit PCM WAV parser -> (sample_rate, n_channels,
+    samples [n, ch] int16). Chunk-walks the RIFF container per the
+    public spec ('fmt ' then 'data', unknown chunks skipped via their
+    declared size, word-aligned)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    rate = channels = bits = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"only 16-bit PCM supported (fmt={fmt}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    return rate, channels, samples.reshape(-1, channels)
+
+
+def real_decode(payload: bytes):
+    """Decode an UNCOMPRESSED media payload — pure python/numpy, no
+    media libraries, dispatched on magic bytes:
+
+    * netpbm P6/P5 and 24-bit BI_RGB BMP -> uint8 pixels [h, w, c]
+    * RIFF/WAVE 16-bit PCM -> (sample_rate, n_channels, int16 [n, ch])
+
+    Compressed codecs (JPEG/PNG/MP3/video) still require external
+    libraries; swap PIL/ffmpeg into the same mapInPandas UDF in a real
+    deployment."""
+    magic = bytes(payload[:4])
+    if magic[:2] in (b"P6", b"P5"):
         return _parse_netpbm(bytes(payload))
-    if magic == b"BM":
+    if magic[:2] == b"BM":
         return _parse_bmp(bytes(payload))
+    if magic == b"RIFF":
+        return _parse_wav(bytes(payload))
     raise ValueError(
-        f"unsupported image magic {magic!r}: real_decode handles "
-        "uncompressed PPM/PGM/BMP; compressed codecs need PIL/ffmpeg"
+        f"unsupported media magic {magic!r}: real_decode handles "
+        "uncompressed PPM/PGM/BMP/WAV; compressed codecs need PIL/ffmpeg"
     )
 
 
@@ -258,11 +294,108 @@ SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
 FROM dims"""
 
 
+# -------------------------------------------------- real decode (WAV) gate
+
+WAV_RATE = 8000
+WAV_DECODE_SCHEMA = (
+    "doc_id long, sample_rate long, n_channels long, n_samples long, "
+    "sum_ch0 long, sum_all long"
+)
+
+
+def _wav_dims(doc_id: int) -> tuple[int, int]:
+    return (doc_id % 50) + 10, (doc_id % 2) + 1  # (n_samples, channels)
+
+
+def encode_wav_bytes(doc_id: int) -> bytes:
+    """Deterministic synthetic 16-bit PCM WAV: sample (i, ch) =
+    ((doc_id*13 + i*7 + ch*3) % 4096) - 2048 — a closed form the
+    DuckDB oracle recomputes, so decoding value-checks the parser.
+    A junk chunk precedes 'data' to exercise the chunk walker."""
+    n, ch = _wav_dims(doc_id)
+    i = np.arange(n)[:, None]
+    c = np.arange(ch)[None, :]
+    samples = (((doc_id * 13 + i * 7 + c * 3) % 4096) - 2048).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, WAV_RATE, WAV_RATE * ch * 2, ch * 2, 16
+    )
+    junk = b"jnk " + struct.pack("<I", 3) + b"xyz\x00"  # odd size + pad
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += junk + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def with_wav_payload(docs: DataFrame) -> DataFrame:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_wav_bytes(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(fn, "doc_id long, payload binary")
+
+
+def decode_wav_stage(docs_with_payload: DataFrame) -> DataFrame:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, samples = real_decode(payload)
+                s = samples.astype(np.int64)
+                rows.append(
+                    (int(doc_id), rate, ch, samples.shape[0],
+                     int(s[:, 0].sum()), int(s.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_channels",
+                         "n_samples", "sum_ch0", "sum_all"],
+            )
+
+    return docs_with_payload.mapInPandas(fn, WAV_DECODE_SCHEMA)
+
+
+def q_mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return decode_wav_stage(with_wav_payload(docs))
+
+
+def _sql_wav_sum(ch_expr: str) -> str:
+    return (
+        "list_aggregate(list_transform(range(0, n), i -> "
+        f"(doc_id * 13 + i * 7 + ({ch_expr}) * 3) % 4096 - 2048), 'sum')"
+    )
+
+
+SQL_MM_DECODE_WAV = f"""
+WITH dims AS (
+  SELECT doc_id, (doc_id % 50) + 10 AS n, (doc_id % 2) + 1 AS ch
+  FROM documents),
+per AS (
+  SELECT doc_id, n, ch,
+         CAST({_sql_wav_sum('0')} AS BIGINT) AS s0,
+         CAST(CASE WHEN ch = 2 THEN {_sql_wav_sum('1')}
+                   ELSE 0 END AS BIGINT) AS s1
+  FROM dims)
+SELECT doc_id, CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+       CAST(ch AS BIGINT) AS n_channels, CAST(n AS BIGINT) AS n_samples,
+       s0 AS sum_ch0, s0 + s1 AS sum_all
+FROM per"""
+
+
 QUERIES = {
     "mm_decode_stub": q_mm_decode_stub,
     "mm_decode_real": q_mm_decode_real,
+    "mm_decode_wav": q_mm_decode_wav,
 }
 ORACLES = {
     "mm_decode_stub": SQL_MM_DECODE,
     "mm_decode_real": SQL_MM_DECODE_REAL,
+    "mm_decode_wav": SQL_MM_DECODE_WAV,
 }

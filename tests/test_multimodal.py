@@ -116,3 +116,52 @@ def test_codec_roundtrip_fuzz(w, h, seed, fmt):
         px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
         payload = _bmp_bytes(px, bottom_up=(fmt == "bmp_up"))
     assert np.array_equal(real_decode(payload), px)
+
+
+# --------------------------------------------------------------- WAV
+
+from remediner_spark.operators.multimodal import (  # noqa: E402
+    _wav_dims,
+    encode_wav_bytes,
+)
+
+
+def test_wav_roundtrip_exact():
+    for doc_id in (0, 1, 17, 123):
+        n, ch = _wav_dims(doc_id)
+        rate, got_ch, samples = real_decode(encode_wav_bytes(doc_id))
+        assert (rate, got_ch) == (8000, ch)
+        assert samples.shape == (n, ch)
+        i = np.arange(n)[:, None]
+        c = np.arange(ch)[None, :]
+        want = (((doc_id * 13 + i * 7 + c * 3) % 4096) - 2048).astype("<i2")
+        assert np.array_equal(samples, want)
+
+
+def test_wav_junk_chunk_and_padding_skipped():
+    # encode_wav_bytes embeds an odd-sized junk chunk before 'data';
+    # the parser must skip it via declared size + word alignment
+    payload = encode_wav_bytes(5)
+    assert b"jnk " in payload
+    rate, ch, samples = real_decode(payload)
+    assert samples.shape[0] == _wav_dims(5)[0]
+
+
+def test_wav_unsupported_is_loud():
+    import struct as _s
+
+    with pytest.raises(ValueError, match="16-bit PCM"):
+        bad = bytearray(encode_wav_bytes(3))
+        off = bad.index(b"fmt ") + 8
+        _s.pack_into("<H", bad, off, 3)  # claim IEEE float format
+        real_decode(bytes(bad))
+    with pytest.raises(ValueError, match="missing fmt/data"):
+        real_decode(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+@settings(max_examples=40, deadline=None)
+@given(doc_id=st.integers(0, 10_000))
+def test_wav_roundtrip_fuzz(doc_id):
+    n, ch = _wav_dims(doc_id)
+    rate, got_ch, samples = real_decode(encode_wav_bytes(doc_id))
+    assert (rate, got_ch, samples.shape) == (8000, ch, (n, ch))
