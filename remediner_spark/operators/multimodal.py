@@ -159,9 +159,12 @@ def real_decode(payload: bytes):
         return _parse_bmp(bytes(payload))
     if magic == b"RIFF":
         return _parse_wav(bytes(payload))
+    if magic == b"YUV4":
+        return _parse_y4m(bytes(payload))
     raise ValueError(
         f"unsupported media magic {magic!r}: real_decode handles "
-        "uncompressed PPM/PGM/BMP/WAV; compressed codecs need PIL/ffmpeg"
+        "uncompressed PPM/PGM/BMP/WAV/Y4M; compressed codecs need "
+        "PIL/ffmpeg"
     )
 
 
@@ -294,6 +297,57 @@ SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
 FROM dims"""
 
 
+def _parse_y4m(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Uncompressed YUV4MPEG2 (.y4m) parser, C444/Cmono -> (width,
+    height, frames [n, h, w] luma uint8). The public plain-header
+    container: 'YUV4MPEG2 W<w> H<h> ...\\n' then per-frame 'FRAME...\\n'
+    markers followed by raw planes; only the luma plane is retained
+    (the feature-extract convention for frame stats)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    hdr_end = payload.index(b"\n")
+    w = h = None
+    colorspace = b"C420"
+    for tok in payload[10:hdr_end].split(b" "):
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            colorspace = tok
+    if w is None or h is None:
+        raise ValueError("missing W/H in y4m header")
+    if colorspace == b"C444":
+        frame_bytes = w * h * 3
+    elif colorspace == b"Cmono":
+        frame_bytes = w * h
+    else:
+        raise ValueError(f"unsupported y4m colorspace {colorspace!r}")
+    frames = []
+    pos = hdr_end + 1
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt y4m: expected FRAME marker")
+        pos = payload.index(b"\n", pos) + 1
+        luma = np.frombuffer(
+            payload, dtype=np.uint8, count=w * h, offset=pos
+        ).reshape(h, w)
+        frames.append(luma)
+        pos += frame_bytes
+    return w, h, np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)
+
+
+def nn_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize [h, w, ...] -> [out_h, out_w, ...]:
+    source index = floor(i * in / out) — integer arithmetic only, so
+    an oracle can recompute the sampled positions exactly."""
+    h, w = px.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return px[rows][:, cols]
+
+
 # -------------------------------------------------- real decode (WAV) gate
 
 WAV_RATE = 8000
@@ -389,13 +443,137 @@ SELECT doc_id, CAST({WAV_RATE} AS BIGINT) AS sample_rate,
 FROM per"""
 
 
+# ------------------------------------- video frame-sampling (Y4M) gate
+
+FRAME_STRIDE = 2  # keep every 2nd frame
+
+
+def _y4m_dims(doc_id: int) -> tuple[int, int, int]:
+    return (doc_id % 5) + 2, (doc_id % 4) + 2, (doc_id % 6) + 2  # (w, h, f)
+
+
+def encode_y4m_bytes(doc_id: int) -> bytes:
+    """Deterministic synthetic mono Y4M clip: luma (f, r, c) =
+    (doc_id*11 + f*17 + r*5 + c*2) % 256 — closed-form for the oracle."""
+    w, h, n_frames = _y4m_dims(doc_id)
+    f = np.arange(n_frames)[:, None, None]
+    r = np.arange(h)[None, :, None]
+    c = np.arange(w)[None, None, :]
+    luma = ((doc_id * 11 + f * 17 + r * 5 + c * 2) % 256).astype(np.uint8)
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Cmono\n".encode()]
+    for i in range(n_frames):
+        out.append(b"FRAME\n" + luma[i].tobytes())
+    return b"".join(out)
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling: decode the clip, keep every FRAME_STRIDE-th
+    frame, emit one row per kept frame with its luma sum — the
+    feature-extract step of a video training-data pipeline. Map-only
+    explode; the clip payload crosses Arrow once."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, frames = real_decode(encode_y4m_bytes(d))
+                for idx in range(0, frames.shape[0], FRAME_STRIDE):
+                    rows.append(
+                        (d, idx, w, h,
+                         int(frames[idx].astype(np.int64).sum()))
+                    )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "frame_idx", "width", "height", "luma_sum"],
+        )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(
+        fn,
+        "doc_id long, frame_idx long, width long, height long, "
+        "luma_sum long",
+    )
+
+
+SQL_MM_FRAME_SAMPLE = f"""
+WITH dims AS (
+  SELECT doc_id, (doc_id % 5) + 2 AS w, (doc_id % 4) + 2 AS h,
+         (doc_id % 6) + 2 AS nf
+  FROM documents),
+kept AS (
+  SELECT doc_id, w, h, unnest(range(0, nf, {FRAME_STRIDE})) AS frame_idx
+  FROM dims)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(list_aggregate(list_transform(range(0, h * w), i ->
+            (doc_id * 11 + frame_idx * 17 + (i // w) * 5 + (i % w) * 2)
+              % 256), 'sum') AS BIGINT) AS luma_sum
+FROM kept"""
+
+
+# --------------------------------------------- image resize (NN) gate
+
+RESIZE_H, RESIZE_W = 3, 4
+
+
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> nearest-neighbor resize to a fixed thumbnail -> channel
+    sums: the resize step of an image training-data pipeline. The NN
+    index map is floor(i*in/out) integer arithmetic, so the oracle
+    recomputes the sampled source pixels exactly."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px = real_decode(encode_ppm_bytes(d))
+                small = nn_resize(px, RESIZE_H, RESIZE_W).astype(np.int64)
+                s = small.sum(axis=(0, 1))
+                rows.append((d, int(s[0]), int(s[1]), int(s[2])))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "sum_r", "sum_g", "sum_b"]
+        )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(
+        fn, "doc_id long, sum_r long, sum_g long, sum_b long"
+    )
+
+
+def _sql_resize_sum(ch: int) -> str:
+    src_r = f"(((i // {RESIZE_W}) * h) // {RESIZE_H})"
+    src_c = f"(((i % {RESIZE_W}) * w) // {RESIZE_W})"
+    return (
+        f"list_aggregate(list_transform(range(0, {RESIZE_H * RESIZE_W}), "
+        f"i -> (doc_id * 31 + {src_r} * 7 + {src_c} * 3 + {ch}) % 256), "
+        "'sum')"
+    )
+
+
+SQL_MM_RESIZE = f"""
+WITH dims AS (
+  SELECT doc_id, (doc_id % 8) + 2 AS w, ((doc_id // 8) % 6) + 2 AS h
+  FROM documents)
+SELECT doc_id,
+       CAST({_sql_resize_sum(0)} AS BIGINT) AS sum_r,
+       CAST({_sql_resize_sum(1)} AS BIGINT) AS sum_g,
+       CAST({_sql_resize_sum(2)} AS BIGINT) AS sum_b
+FROM dims"""
+
+
 QUERIES = {
     "mm_decode_stub": q_mm_decode_stub,
     "mm_decode_real": q_mm_decode_real,
     "mm_decode_wav": q_mm_decode_wav,
+    "mm_frame_sample": q_mm_frame_sample,
+    "mm_resize": q_mm_resize,
 }
 ORACLES = {
     "mm_decode_stub": SQL_MM_DECODE,
     "mm_decode_real": SQL_MM_DECODE_REAL,
     "mm_decode_wav": SQL_MM_DECODE_WAV,
+    "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
+    "mm_resize": SQL_MM_RESIZE,
 }

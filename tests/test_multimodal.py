@@ -165,3 +165,50 @@ def test_wav_roundtrip_fuzz(doc_id):
     n, ch = _wav_dims(doc_id)
     rate, got_ch, samples = real_decode(encode_wav_bytes(doc_id))
     assert (rate, got_ch, samples.shape) == (8000, ch, (n, ch))
+
+
+# ------------------------------------------------------- Y4M + resize
+
+from remediner_spark.operators.multimodal import (  # noqa: E402
+    _y4m_dims,
+    encode_y4m_bytes,
+    nn_resize,
+)
+
+
+def test_y4m_roundtrip_exact():
+    for doc_id in (0, 3, 29, 101):
+        w, h, nf = _y4m_dims(doc_id)
+        got_w, got_h, frames = real_decode(encode_y4m_bytes(doc_id))
+        assert (got_w, got_h, frames.shape) == (w, h, (nf, h, w))
+        f = np.arange(nf)[:, None, None]
+        r = np.arange(h)[None, :, None]
+        c = np.arange(w)[None, None, :]
+        want = ((doc_id * 11 + f * 17 + r * 5 + c * 2) % 256).astype(np.uint8)
+        assert np.array_equal(frames, want)
+
+
+def test_y4m_c444_and_corrupt_are_handled():
+    # C444: frame payload carries 3 planes; only luma retained
+    w, h = 2, 2
+    luma = np.arange(4, dtype=np.uint8).reshape(h, w)
+    chroma = np.full((h, w), 128, dtype=np.uint8)
+    payload = (
+        f"YUV4MPEG2 W{w} H{h} F25:1 C444\n".encode()
+        + b"FRAME\n" + luma.tobytes() + chroma.tobytes() + chroma.tobytes()
+    )
+    _, _, frames = real_decode(payload)
+    assert np.array_equal(frames[0], luma)
+    with pytest.raises(ValueError, match="FRAME"):
+        real_decode(b"YUV4MPEG2 W2 H2 Cmono\nJUNK")
+    with pytest.raises(ValueError, match="colorspace"):
+        real_decode(b"YUV4MPEG2 W2 H2 C420jpeg\nFRAME\n\x00\x00\x00\x00\x00\x00")
+
+
+def test_nn_resize_indices():
+    px = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    small = nn_resize(px, 2, 3)
+    # rows: floor(i*4/2) -> 0,2 ; cols: floor(j*6/3) -> 0,2,4
+    assert np.array_equal(small, px[[0, 2]][:, [0, 2, 4]])
+    # identity when dims match
+    assert np.array_equal(nn_resize(px, 4, 6), px)
