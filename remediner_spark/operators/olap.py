@@ -139,12 +139,40 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue_c DESC, l_orderkey ASC LIMIT {Q3_TOPN}"""
 
 
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup (the hypertable continuous-aggregate
+    shape): event counts at (day, event_type), (day), and grand-total
+    grains in ONE pass via ROLLUP — Spark plans a single aggregation
+    with grouping-set expansion, not three scans. grouping_id
+    disambiguates NULL-as-total from NULL-as-value cross-engine."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return (
+        events.rollup(day, F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().alias("grouping_lvl"),
+        )
+        .select("day", "event_type", "n", "grouping_lvl")
+    )
+
+
+SQL_EVENT_ROLLUP = """
+SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+       CAST(grouping(date_trunc('day', ts)) * 2
+            + grouping(event_type) AS BIGINT) AS grouping_lvl
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), event_type)"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "event_rollup": q_event_rollup,
 }
 
 ORACLES = {
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
+    "event_rollup": SQL_EVENT_ROLLUP,
 }
