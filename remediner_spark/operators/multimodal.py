@@ -125,8 +125,17 @@ def _parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     while pos + 8 <= n:
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > n:
+            # loud like the other parsers — a silent short slice would
+            # decode truncated sample counts as if they were the data
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: declares {size} bytes, "
+                f"{n - pos - 8} remain"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"fmt chunk too short ({size} bytes)")
             fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
             if fmt != 1 or bits != 16:
@@ -466,34 +475,56 @@ def encode_y4m_bytes(doc_id: int) -> bytes:
     return b"".join(out)
 
 
-def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def with_y4m_payload(docs: DataFrame) -> DataFrame:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_y4m_bytes(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(fn, "doc_id long, payload binary")
+
+
+def frame_sample_stage(docs_with_payload: DataFrame) -> DataFrame:
     """Video frame-sampling: decode the clip, keep every FRAME_STRIDE-th
     frame, emit one row per kept frame with its luma sum — the
-    feature-extract step of a video training-data pipeline. Map-only
-    explode; the clip payload crosses Arrow once."""
+    feature-extract step of a video training-data pipeline. One output
+    frame per input Arrow batch (no cross-batch buffering)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = []
         for pdf in batches:
-            for doc_id in pdf["doc_id"]:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 d = int(doc_id)
-                w, h, frames = real_decode(encode_y4m_bytes(d))
+                w, h, frames = real_decode(payload)
                 for idx in range(0, frames.shape[0], FRAME_STRIDE):
                     rows.append(
                         (d, idx, w, h,
                          int(frames[idx].astype(np.int64).sum()))
                     )
-        yield pd.DataFrame(
-            rows,
-            columns=["doc_id", "frame_idx", "width", "height", "luma_sum"],
-        )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height",
+                         "luma_sum"],
+            )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    return docs.mapInPandas(
+    return docs_with_payload.mapInPandas(
         fn,
         "doc_id long, frame_idx long, width long, height long, "
         "luma_sum long",
     )
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # two hops on purpose: the clip payload genuinely crosses Arrow as
+    # a binary column between the synth stage and the decode stage
+    return frame_sample_stage(with_y4m_payload(docs))
 
 
 SQL_MM_FRAME_SAMPLE = f"""
@@ -517,29 +548,32 @@ FROM kept"""
 RESIZE_H, RESIZE_W = 3, 4
 
 
-def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def resize_stage(docs_with_payload: DataFrame) -> DataFrame:
     """Decode -> nearest-neighbor resize to a fixed thumbnail -> channel
     sums: the resize step of an image training-data pipeline. The NN
     index map is floor(i*in/out) integer arithmetic, so the oracle
     recomputes the sampled source pixels exactly."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = []
         for pdf in batches:
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                px = real_decode(encode_ppm_bytes(d))
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = real_decode(payload)
                 small = nn_resize(px, RESIZE_H, RESIZE_W).astype(np.int64)
                 s = small.sum(axis=(0, 1))
-                rows.append((d, int(s[0]), int(s[1]), int(s[2])))
-        yield pd.DataFrame(
-            rows, columns=["doc_id", "sum_r", "sum_g", "sum_b"]
-        )
+                rows.append((int(doc_id), int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sum_r", "sum_g", "sum_b"]
+            )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    return docs.mapInPandas(
+    return docs_with_payload.mapInPandas(
         fn, "doc_id long, sum_r long, sum_g long, sum_b long"
     )
+
+
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return resize_stage(with_ppm_payload(docs))
 
 
 def _sql_resize_sum(ch: int) -> str:

@@ -215,17 +215,36 @@ def read_table(
         schema = StructType.fromJson(snap["schema"])
         return spark.createDataFrame([], schema)
     df = spark.read.parquet(*[f["path"] for f in files])
-    # re-attach partition values pruned out of the file paths
+    return _attach_partition_cols(spark, df, files, snap["partition_by"])
+
+
+def _attach_partition_cols(
+    spark: SparkSession, df: DataFrame, files: list[dict],
+    partition_by: list[str],
+) -> DataFrame:
+    """Re-attach partition columns pruned out of the data files, from
+    the MANIFEST's per-file partition values (broadcast file->value
+    map joined on input_file_name) — never from path regexes, which
+    mis-parse Hive-escaped values (lang='a=b' -> dir lang=a%3Db) and,
+    unanchored, match a column whose name suffixes another's
+    (sub_bucket=3/bucket=7)."""
     import pyspark.sql.functions as F
 
-    for col in snap["partition_by"]:
-        if col not in df.columns:
-            # constant per file dir; recover from input_file_name
-            df = df.withColumn(
-                col,
-                F.regexp_extract(F.input_file_name(), f"{col}=([^/]+)", 1),
-            )
-    return df
+    missing = [c for c in partition_by if c not in df.columns]
+    if not missing:
+        return df
+    rows = [
+        tuple([f["path"]] + [f["partition"].get(c) for c in missing])
+        for f in files
+    ]
+    schema = ", ".join(["_file_path string"] + [f"{c} string" for c in missing])
+    fmap = spark.createDataFrame(rows, schema)
+    # input_file_name returns a URI; the manifest stores plain paths
+    df = df.withColumn(
+        "_file_path",
+        F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+    )
+    return df.join(F.broadcast(fmap), "_file_path", "left").drop("_file_path")
 
 
 def compact_table(
@@ -270,18 +289,15 @@ def compact_table(
     }
     if not crowded:
         return snap
-    paths = [f["path"] for files in crowded.values() for f in files]
-    df = spark.read.parquet(*paths)
+    crowded_files = [f for files in crowded.values() for f in files]
+    df = spark.read.parquet(*[f["path"] for f in crowded_files])
     # partition columns are pruned out of the data files; recover them
-    # from the file paths and cast back to the table schema's types
-    # (the write-time schema check compares names+types)
+    # from the manifest (shared helper — same mechanism as read_table)
+    # and cast back to the table schema's types (the write-time schema
+    # check compares names+types)
+    df = _attach_partition_cols(spark, df, crowded_files, partition_by)
     types = {f["name"]: f["type"] for f in snap["schema"]["fields"]}
     for col in partition_by:
-        if col not in df.columns:
-            df = df.withColumn(
-                col,
-                F.regexp_extract(F.input_file_name(), f"{col}=([^/]+)", 1),
-            )
         df = df.withColumn(col, F.col(col).cast(types[col]))
     df = df.select([f["name"] for f in snap["schema"]["fields"]])
     compacted = df.repartition(max(len(crowded), 1), *partition_by)
@@ -294,12 +310,35 @@ def expire_snapshots(path: str, keep_last: int = 2) -> dict:
     """Iceberg `expire_snapshots`: drop all but the newest
     ``keep_last`` snapshots and DELETE data files no surviving snapshot
     references (the only operation that ever removes data files —
-    overwrite/replace keep them for time travel). Returns
+    overwrite/replace keep them for time travel). Exactly-once scope
+    markers (write_table ``properties`` with a ``scope`` key) from
+    dropped snapshots are CARRIED into the oldest kept snapshot's
+    ``carried_scopes`` — expiring history must never erase a streaming
+    writer's replay guard, or a redelivered micro-batch after a
+    crash+expiry would double-merge. Returns
     {"removed_snapshots": n, "deleted_files": n}."""
     snapshots = _load_snapshots(path)
     if len(snapshots) <= keep_last:
         return {"removed_snapshots": 0, "deleted_files": 0}
     kept, dropped = snapshots[-keep_last:], snapshots[:-keep_last]
+    # newest marker per scope across the DROPPED snapshots (kept ones
+    # still carry their own); merge under the oldest kept snapshot
+    carried: dict[str, int] = {}
+    for s in dropped:  # oldest -> newest, later wins
+        props = s.get("properties") or {}
+        if "scope" in props:
+            carried[props["scope"]] = int(props["batch_id"])
+        for sc, bid in (props.get("carried_scopes") or {}).items():
+            carried[sc] = max(int(bid), carried.get(sc, -1))
+    if carried:
+        anchor = dict(kept[0])
+        merged = dict(anchor.get("properties") or {})
+        prev = dict(merged.get("carried_scopes") or {})
+        for sc, bid in carried.items():
+            prev[sc] = max(int(bid), int(prev.get(sc, -1)))
+        merged["carried_scopes"] = prev
+        anchor["properties"] = merged
+        kept = [anchor] + kept[1:]
     live = {f["path"] for s in kept for f in s["files"]}
     dead = {
         f["path"] for s in dropped for f in s["files"] if f["path"] not in live

@@ -198,11 +198,15 @@ def edge_merge_fn(spark: SparkSession, table_path: str, scope: str,
 
     def last_merged_batch() -> int:
         # most recent snapshot carrying THIS scope's marker (other
-        # writers — compaction, other streams — may commit in between)
+        # writers — compaction, other streams — may commit in between);
+        # expire_snapshots preserves dropped markers in carried_scopes
         for s in reversed(_load_snapshots(table_path)):
             props = s.get("properties") or {}
             if props.get("scope") == scope:
                 return int(props["batch_id"])
+            carried = props.get("carried_scopes") or {}
+            if scope in carried:
+                return int(carried[scope])
         return -1
 
     def merge_batch(batch_df, batch_id: int) -> None:

@@ -212,3 +212,9 @@ def test_nn_resize_indices():
     assert np.array_equal(small, px[[0, 2]][:, [0, 2, 4]])
     # identity when dims match
     assert np.array_equal(nn_resize(px, 4, 6), px)
+
+
+def test_wav_truncated_chunk_is_loud():
+    payload = encode_wav_bytes(7)
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        real_decode(payload[:-10])
