@@ -139,6 +139,59 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue_c DESC, l_orderkey ASC LIMIT {Q3_TOPN}"""
 
 
+Q5_DATE_LO, Q5_DATE_HI = "1995-01-01", "1999-01-01"
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier revenue by nation): a SIX-table
+    join — region -> nation -> {customer, supplier} -> orders ->
+    lineitem with the local-supply condition c_nationkey ==
+    s_nationkey. The dimension chain (region/nation/customer/supplier)
+    broadcasts; the orders<->lineitem fact join shuffles on orderkey;
+    Catalyst orders the joins. Revenue in exact integer cents."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_DATE_LO).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(Q5_DATE_HI).cast("timestamp_ntz"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev_c = _cents(F.col("l_extendedprice")) * (
+        100 - _cents(F.col("l_discount"))
+    )
+    return (
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .join(customer, nation.n_nationkey == customer.c_nationkey)
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supplier,
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev_c).alias("revenue_c"))
+    )
+
+
+SQL_TPCH_Q5 = f"""
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+            AS BIGINT) AS revenue_c
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '{Q5_DATE_LO} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q5_DATE_HI} 00:00:00'
+GROUP BY n_name"""
+
+
 def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-hierarchy rollup (the hypertable continuous-aggregate
     shape): event counts at (day, event_type), (day), and grand-total
@@ -168,11 +221,13 @@ GROUP BY ROLLUP (date_trunc('day', ts), event_type)"""
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
     "event_rollup": q_event_rollup,
 }
 
 ORACLES = {
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q5": SQL_TPCH_Q5,
     "event_rollup": SQL_EVENT_ROLLUP,
 }
