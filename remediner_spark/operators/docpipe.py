@@ -280,6 +280,96 @@ FROM edges a JOIN edges b
   ON a.obj = b.obj AND a.subj < b.subj"""
 
 
+SIM_MIN_JACCARD = 0.25
+SIM_MAX_EFFECT_DF = 64  # cap: effects reported by more drugs are hubs
+
+
+def q_kg_drug_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-similarity analytics: drug pairs scored by Jaccard overlap
+    of their effect sets ('drugs with similar adverse-event profiles').
+    Same scale-safe shape as ngram-Jaccard dedup: per-effect posting
+    lists of drugs with a HUB CAP enforced by a count agg + anti-join
+    BEFORE collect_list (an effect reported for most drugs carries no
+    similarity signal and would concentrate one reducer), map-side
+    pair expansion on the aggregated row, rational Jaccard rounded
+    6dp."""
+    edges = (
+        q_m9_edges_docs(spark, sf_dir)
+        .select("subj", "obj")
+        .persist()  # three consumers: sizes, hub cap, postings
+    )
+    sizes = edges.groupBy("subj").agg(F.count(F.lit(1)).alias("n_eff"))
+    hubs = (
+        edges.groupBy("obj")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SIM_MAX_EFFECT_DF)
+        .select("obj")
+    )
+    postings = (
+        edges.join(hubs, "obj", "left_anti")
+        .groupBy("obj")
+        .agg(F.sort_array(F.collect_list("subj")).alias("drugs"))
+        .filter(F.size("drugs") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("drugs"),
+            lambda a, i: F.transform(
+                F.slice(F.col("drugs"), i + 2, F.size(F.col("drugs"))),
+                lambda b: F.struct(a.alias("drug_a"), b.alias("drug_b")),
+            ),
+        )
+    )
+    pairs = (
+        postings.select(F.explode(pair_structs).alias("p"))
+        .select("p.drug_a", "p.drug_b")
+        .groupBy("drug_a", "drug_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("subj").alias("drug_a"),
+                         F.col("n_eff").alias("n_a")), "drug_a")
+        .join(
+            sizes.select(F.col("subj").alias("drug_b"),
+                         F.col("n_eff").alias("n_b")), "drug_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= SIM_MIN_JACCARD)
+        .select("drug_a", "drug_b", "common", "jaccard")
+    )
+
+
+SQL_KG_DRUG_SIM = f"""
+WITH {_sql_mention_ranks()},
+triples AS (
+  SELECT d_rank.doc_id, d_rank.surface AS subj, e_rank.surface AS obj
+  FROM d_rank JOIN e_rank
+    ON d_rank.doc_id = e_rank.doc_id AND d_rank.rnk = e_rank.rnk),
+edges AS (SELECT subj, obj FROM triples GROUP BY subj, obj),
+sizes AS (SELECT subj, count(*) AS n_eff FROM edges GROUP BY subj),
+rare AS (SELECT obj FROM edges GROUP BY obj
+         HAVING count(*) <= {SIM_MAX_EFFECT_DF}),
+inv AS (SELECT e.* FROM edges e JOIN rare USING (obj)),
+pairs AS (
+  SELECT a.subj AS drug_a, b.subj AS drug_b, count(*) AS common
+  FROM inv a JOIN inv b ON a.obj = b.obj AND a.subj < b.subj
+  GROUP BY 1, 2)
+SELECT drug_a, drug_b, common,
+       round(common * 1.0 / (sa.n_eff + sb.n_eff - common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.subj = drug_a
+JOIN sizes sb ON sb.subj = drug_b
+WHERE round(common * 1.0 / (sa.n_eff + sb.n_eff - common), 6)
+      >= {SIM_MIN_JACCARD}"""
+
+
 QUERIES = {
     "s2_entity_offsets": q_s2_entity_offsets,
     "m1_gazetteer_ner": q_m1_gazetteer_counts,
@@ -287,6 +377,7 @@ QUERIES = {
     "m9_edge_agg_salted": q_m9_edges_docs,
     "kg_top_effects_per_drug": q_kg_top_effects,
     "kg_cooccurring_drugs": q_kg_cooccurring_drugs,
+    "kg_drug_similarity": q_kg_drug_similarity,
 }
 
 ORACLES = {
@@ -296,4 +387,5 @@ ORACLES = {
     "m9_edge_agg_salted": SQL_M9,
     "kg_top_effects_per_drug": SQL_KG_TOP,
     "kg_cooccurring_drugs": SQL_KG_COOCCUR,
+    "kg_drug_similarity": SQL_KG_DRUG_SIM,
 }
