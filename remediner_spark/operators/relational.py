@@ -347,6 +347,56 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
 FROM s GROUP BY user_id, session_idx"""
 
 
+PCTS = (50, 95)
+
+
+def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles per group by rank selection (the lower
+    interpolation rule: element at floor((n-1)*p/100) of the sorted
+    values) — deterministic and identical cross-engine, unlike
+    interpolated or approximate percentiles whose float arithmetic
+    differs. One window per group ranks the values; the selection is
+    a filter on integer positions. At scale, approx_percentile is the
+    sketch path; this is the exact path for when the answer must be
+    reproducible (SLA reporting, regression gates)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    n = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        "value",
+        (F.row_number().over(w) - 1).alias("_pos"),
+        F.count(F.lit(1)).over(n).alias("_n"),
+    )
+    picks = None
+    for p in PCTS:
+        sel = ranked.filter(
+            F.col("_pos") == F.floor((F.col("_n") - 1) * p / 100)
+        ).select(
+            "event_type",
+            F.lit(p).cast("long").alias("pct"),
+            F.round(F.col("value"), 6).alias("value"),
+        )
+        picks = sel if picks is None else picks.unionByName(sel)
+    return picks
+
+
+SQL_EVENT_PERCENTILES = f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (
+             PARTITION BY event_type
+             ORDER BY value ASC, event_id ASC) - 1 AS pos,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+p AS (SELECT unnest([{", ".join(str(p) for p in PCTS)}]) AS pct)
+SELECT event_type, CAST(pct AS BIGINT) AS pct,
+       round(value, 6) AS value
+FROM ranked JOIN p ON pos = CAST(floor((n - 1) * pct / 100) AS BIGINT)"""
+
+
 QUERIES = {
     "r1_project_drop": q_r1_project_drop,
     "r2_distinct": q_r2_distinct,
@@ -362,6 +412,7 @@ QUERIES = {
     "window_topk": q_window_topk,
     "window_tumbling_agg": q_window_tumbling_agg,
     "sessionize": q_sessionize,
+    "event_percentiles": q_event_percentiles,
 }
 
 ORACLES = {
@@ -379,4 +430,5 @@ ORACLES = {
     "window_topk": SQL_WINDOW_TOPK,
     "window_tumbling_agg": SQL_WINDOW_TUMBLING,
     "sessionize": SQL_SESSIONIZE,
+    "event_percentiles": SQL_EVENT_PERCENTILES,
 }

@@ -220,6 +220,47 @@ FROM s LEFT JOIN hits h ON s.doc_id = h.doc_id
 WHERE s.doc_id % {EVAL_MOD} <> 0"""
 
 
+WEIGHT_DENOM = 1_000_000  # hash-threshold resolution (ppm)
+WEIGHT_CHARS = 1000  # keep probability = min(1, n_chars / WEIGHT_CHARS)
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling for data curation: each doc kept with
+    probability proportional to a quality weight (here its length,
+    capped at 1) — longer docs survive curation more often, the
+    standard up/down-weighting move when shaping a training mixture.
+    DETERMINISTIC: the coin is the md5-prefix hash of the doc id
+    against an integer ppm threshold, so the same doc gets the same
+    verdict in every run, on every engine, and in any join — no RNG
+    state, map-only, reproducible lineage."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = md5_hash32_expr(
+        F.concat(F.lit("wsamp|"), F.col("doc_id").cast("string"))
+    )
+    keep_ppm = F.least(
+        F.lit(WEIGHT_DENOM),
+        (F.col("n_chars") * WEIGHT_DENOM / WEIGHT_CHARS).cast("long"),
+    )
+    return (
+        docs.withColumn("keep_ppm", keep_ppm)
+        .filter(h % WEIGHT_DENOM < F.col("keep_ppm"))
+        .select("doc_id", "n_chars", F.col("keep_ppm").cast("long").alias("keep_ppm"))
+    )
+
+
+SQL_SAMPLE_WEIGHTED = f"""
+WITH w AS (
+  SELECT doc_id, n_chars,
+         least({WEIGHT_DENOM},
+               CAST(n_chars * {WEIGHT_DENOM} / {WEIGHT_CHARS} AS BIGINT))
+           AS keep_ppm
+  FROM documents)
+SELECT doc_id, n_chars, keep_ppm
+FROM w
+WHERE ({md5_hash32_sql("('wsamp|' || CAST(doc_id AS VARCHAR))")})
+      % {WEIGHT_DENOM} < keep_ppm"""
+
+
 def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture reweighting: per-source token shares and the
     sampling weight that equalizes the mixture (weight = uniform
@@ -359,6 +400,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "top_ngrams": q_top_ngrams,
     "source_mixture": q_source_mixture,
+    "sample_weighted": q_sample_weighted,
 }
 
 ORACLES = {
@@ -369,4 +411,5 @@ ORACLES = {
     "decontaminate": sql_decontaminate(),
     "top_ngrams": sql_top_ngrams(),
     "source_mixture": SQL_SOURCE_MIXTURE,
+    "sample_weighted": SQL_SAMPLE_WEIGHTED,
 }
