@@ -347,6 +347,56 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
 FROM s GROUP BY user_id, session_idx"""
 
 
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME gap sessions via Spark's built-in session_window — an
+    independent implementation of the semantics q_sessionize builds
+    from lag/running-sum, checked against the same lag-CTE oracle:
+    two session definitions (Catalyst's native merging aggregation vs
+    the window construction) must produce identical (user, start,
+    n_events) rows. In streaming this exact expression runs stateful
+    with a watermark; batch here pins its semantics."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            # session_window.start == min(ts); .end is last+gap, which
+            # has no lag-side counterpart — project the start only
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# NOTE the boundary: session_window merges an event while ts < prev +
+# gap, so a gap of EXACTLY 30 min starts a new session — hence `>=`
+# here, where q_sessionize's lag rule uses `>` (both are valid session
+# definitions; each oracle mirrors its own boundary).
+SQL_SESSIONIZE_NATIVE = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events),
+f AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                   OR us - prev_us >= {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_s
+  FROM o),
+s AS (
+  SELECT *, sum(new_s) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM f)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM s GROUP BY user_id, session_idx"""
+
+
 PCTS = (50, 95)
 
 
@@ -412,6 +462,7 @@ QUERIES = {
     "window_topk": q_window_topk,
     "window_tumbling_agg": q_window_tumbling_agg,
     "sessionize": q_sessionize,
+    "sessionize_native": q_sessionize_native,
     "event_percentiles": q_event_percentiles,
 }
 
@@ -430,5 +481,6 @@ ORACLES = {
     "window_topk": SQL_WINDOW_TOPK,
     "window_tumbling_agg": SQL_WINDOW_TUMBLING,
     "sessionize": SQL_SESSIONIZE,
+    "sessionize_native": SQL_SESSIONIZE_NATIVE,
     "event_percentiles": SQL_EVENT_PERCENTILES,
 }
