@@ -296,18 +296,23 @@ def q_kg_drug_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         q_m9_edges_docs(spark, sf_dir)
         .select("subj", "obj")
-        .persist()  # three consumers: sizes, hub cap, postings
+        .persist()  # consumers: hub cap + the hub-free edge set
     )
-    sizes = edges.groupBy("subj").agg(F.count(F.lit(1)).alias("n_eff"))
     hubs = (
         edges.groupBy("obj")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > SIM_MAX_EFFECT_DF)
         .select("obj")
     )
+    # Jaccard over the HUB-FREE effect sets on both sides of the
+    # ratio: sizes must come from the same anti-joined universe as the
+    # intersection counts, or the score is the Jaccard of no
+    # well-defined pair of sets (hub-heavy drugs would be
+    # systematically under-scored by an all-effects denominator)
+    nonhub = edges.join(hubs, "obj", "left_anti")
+    sizes = nonhub.groupBy("subj").agg(F.count(F.lit(1)).alias("n_eff"))
     postings = (
-        edges.join(hubs, "obj", "left_anti")
-        .groupBy("obj")
+        nonhub.groupBy("obj")
         .agg(F.sort_array(F.collect_list("subj")).alias("drugs"))
         .filter(F.size("drugs") >= 2)
     )
@@ -353,10 +358,10 @@ triples AS (
   FROM d_rank JOIN e_rank
     ON d_rank.doc_id = e_rank.doc_id AND d_rank.rnk = e_rank.rnk),
 edges AS (SELECT subj, obj FROM triples GROUP BY subj, obj),
-sizes AS (SELECT subj, count(*) AS n_eff FROM edges GROUP BY subj),
 rare AS (SELECT obj FROM edges GROUP BY obj
          HAVING count(*) <= {SIM_MAX_EFFECT_DF}),
 inv AS (SELECT e.* FROM edges e JOIN rare USING (obj)),
+sizes AS (SELECT subj, count(*) AS n_eff FROM inv GROUP BY subj),
 pairs AS (
   SELECT a.subj AS drug_a, b.subj AS drug_b, count(*) AS common
   FROM inv a JOIN inv b ON a.obj = b.obj AND a.subj < b.subj

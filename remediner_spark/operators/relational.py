@@ -373,10 +373,11 @@ def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# NOTE the boundary: session_window merges an event while ts < prev +
-# gap, so a gap of EXACTLY 30 min starts a new session — hence `>=`
-# here, where q_sessionize's lag rule uses `>` (both are valid session
-# definitions; each oracle mirrors its own boundary).
+# Boundary, verified empirically on Spark 4.1: session_window MERGES
+# an event landing at exactly prev + gap (two events 30:00 apart form
+# ONE session), i.e. a new session starts only when the gap is
+# STRICTLY exceeded — the same `>` rule as q_sessionize's lag
+# construction, so both oracles share the boundary.
 SQL_SESSIONIZE_NATIVE = f"""
 WITH o AS (
   SELECT user_id, event_id, ts, epoch_us(ts) AS us,
@@ -385,7 +386,7 @@ WITH o AS (
   FROM events),
 f AS (
   SELECT *, CASE WHEN prev_us IS NULL
-                   OR us - prev_us >= {SESSION_GAP_US}
+                   OR us - prev_us > {SESSION_GAP_US}
                  THEN 1 ELSE 0 END AS new_s
   FROM o),
 s AS (
@@ -420,17 +421,19 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) - 1).alias("_pos"),
         F.count(F.lit(1)).over(n).alias("_n"),
     )
-    picks = None
-    for p in PCTS:
-        sel = ranked.filter(
-            F.col("_pos") == F.floor((F.col("_n") - 1) * p / 100)
-        ).select(
-            "event_type",
-            F.lit(p).cast("long").alias("pct"),
-            F.round(F.col("value"), 6).alias("value"),
+    # ONE pass: explode the pct literals against the ranked rows and
+    # filter on position — a per-pct unionByName would re-execute the
+    # scan + both windows once per percentile
+    pcts = F.explode(
+        F.array(*[F.lit(p).cast("long") for p in PCTS])
+    ).alias("pct")
+    return (
+        ranked.select("event_type", "value", "_pos", "_n", pcts)
+        .filter(F.col("_pos") == F.floor((F.col("_n") - 1) * F.col("pct") / 100))
+        .select(
+            "event_type", "pct", F.round(F.col("value"), 6).alias("value")
         )
-        picks = sel if picks is None else picks.unionByName(sel)
-    return picks
+    )
 
 
 SQL_EVENT_PERCENTILES = f"""
