@@ -29,6 +29,7 @@ import json
 import os
 import time
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -85,7 +86,14 @@ def _collect_file_entries(data_dir: str, partition_by: list[str]) -> list[dict]:
             for seg in rel.split(os.sep)[:-1]:
                 if "=" in seg:
                     k, v = seg.split("=", 1)
-                    partition[k] = v
+                    # Spark Hive-escapes special chars into the dir
+                    # token (a=b -> a%3Db, 50%off -> 50%25off); the
+                    # manifest must store the REAL value or filters
+                    # and recovered columns carry escaped garbage.
+                    # unquote is the exact inverse: Spark always
+                    # escapes a literal '%', so every %XX here is an
+                    # escape.
+                    partition[unquote(k)] = unquote(v)
             entries.append(
                 {
                     "path": fpath,
@@ -239,10 +247,21 @@ def _attach_partition_cols(
     ]
     schema = ", ".join(["_file_path string"] + [f"{c} string" for c in missing])
     fmap = spark.createDataFrame(rows, schema)
-    # input_file_name returns a URI; the manifest stores plain paths
+    # input_file_name returns a PERCENT-ENCODED URI; the manifest
+    # stores plain filesystem paths. A path with a space, '%',
+    # non-ASCII, or Hive-escaped partition dirs (lang=a%3Db re-encodes
+    # to a%253Db) would silently miss the join without decoding. JVM
+    # url_decode is form-decoding ('+' -> space), which URI encoding
+    # never produces — pre-escaping literal '+' to %2B makes it an
+    # exact percent-decode, all Catalyst-side.
     df = df.withColumn(
         "_file_path",
-        F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+        F.url_decode(
+            F.regexp_replace(
+                F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+                r"\+", "%2B",
+            )
+        ),
     )
     return df.join(F.broadcast(fmap), "_file_path", "left").drop("_file_path")
 
@@ -343,10 +362,15 @@ def expire_snapshots(path: str, keep_last: int = 2) -> dict:
     dead = {
         f["path"] for s in dropped for f in s["files"] if f["path"] not in live
     }
+    # COMMIT the pruned manifest (tmp+rename in _save_snapshots) BEFORE
+    # touching data files: a crash mid-delete then only leaks orphan
+    # files the next expiry can't see (harmless), instead of leaving
+    # snapshots.json pointing at removed files — which would break
+    # time travel AND lose the carried_scopes replay markers.
+    _save_snapshots(path, kept)
     for fpath in sorted(dead):
         if os.path.exists(fpath):
             os.remove(fpath)
-    _save_snapshots(path, kept)
     return {"removed_snapshots": len(dropped), "deleted_files": len(dead)}
 
 

@@ -170,3 +170,73 @@ def test_snapshot_ids_unique_after_expiry(spark, tmp_path, pages_pdf):
     assert len(ids) == len(set(ids)) == 3
     # time travel to a surviving pre-expiry snapshot still works
     assert read_table(spark, path, snapshot_id=3).count() == 120
+
+
+def test_partition_values_survive_uri_encoding(spark, tmp_path):
+    """Regression: input_file_name() returns a PERCENT-ENCODED URI, so
+    partition dirs containing a space, '%', '=', '+', or non-ASCII
+    re-encode (lang=a%3Db -> a%253Db) and the manifest join silently
+    yielded NULL partition columns. The read side now percent-decodes
+    ('+' preserved — URI encoding never means space by '+')."""
+    import pandas as pd
+
+    nasty = ["has space", "50%off", "a=b", "plus+plus", "naïve", "plain"]
+    pdf = pd.DataFrame(
+        {"url": [f"u{i}" for i in range(60)],
+         "lang": [nasty[i % len(nasty)] for i in range(60)],
+         "text": [f"t{i}" for i in range(60)]}
+    )
+    path = str(tmp_path / "tbl nasty")  # space in the TABLE path too
+    write_table(spark.createDataFrame(pdf), path, partition_by=["lang"])
+    got = read_table(spark, path).toPandas()
+    assert len(got) == 60
+    assert got["lang"].isna().sum() == 0
+    assert set(got["lang"]) == set(nasty)
+    # per-value filter + recovery both intact
+    for v in nasty:
+        sub = read_table(
+            spark, path, partition_filter={"lang": v}
+        ).toPandas()
+        assert len(sub) == 10 and set(sub["lang"]) == {v}, v
+
+
+def test_expire_commits_manifest_before_deleting(tmp_path, spark, pages_pdf, monkeypatch):
+    """Regression (round-3 advice): expire_snapshots must persist the
+    pruned manifest BEFORE removing data files, so a crash mid-delete
+    leaks orphan files instead of leaving snapshots.json pointing at
+    removed ones (broken time travel + lost carried_scopes)."""
+    import os
+
+    from remediner_spark.sources import table as T
+
+    path = str(tmp_path / "tbl")
+    for i in range(3):
+        chunk = pages_pdf.iloc[i * 40 : (i + 1) * 40]
+        write_table(
+            spark.createDataFrame(chunk).repartition(1), path, mode="append",
+            partition_by=["lang"],
+        )
+    T.compact_table(spark, path)  # makes the pre-compaction files dead
+
+    real_remove = os.remove
+    calls = {"n": 0}
+
+    def crashy_remove(p):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash mid-delete")
+        real_remove(p)
+
+    monkeypatch.setattr(T.os, "remove", crashy_remove)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        T.expire_snapshots(path, keep_last=1)
+    monkeypatch.setattr(T.os, "remove", real_remove)
+
+    # manifest already pruned: every listed file exists, table readable
+    snaps = T._load_snapshots(path)
+    assert len(snaps) == 1
+    assert all(os.path.exists(f["path"]) for f in snaps[-1]["files"])
+    assert read_table(spark, path).count() == 120
+    # a second expiry is a no-op on snapshots (files already orphaned)
+    res = T.expire_snapshots(path, keep_last=1)
+    assert res["removed_snapshots"] == 0
