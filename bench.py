@@ -38,6 +38,15 @@ BENCH_QUERIES = [
     "window_topk",
     "sample_stratified",
     "pack_sequences",
+    # OLAP + KG-consumer + sessionization families (round-3 verdict:
+    # oracle-green but previously wall-untracked)
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "event_rollup",
+    "kg_top_effects_per_drug",
+    "kg_drug_similarity",
+    "sessionize",
 ]
 
 # base pages generated pandas-side, then tiled with distinct urls to
@@ -135,8 +144,16 @@ def main() -> int:
         kg_sec = min(kg_sec, time.time() - t0)
     triples_per_sec = n_triples / kg_sec if kg_sec else 0.0
 
-    # full pipeline (extraction + linking + salted graph aggs)
-    graph_sec = None
+    from remediner_spark.session import release_caches
+
+    # full pipeline (extraction + linking + salted graph aggs).
+    # COLD semantics: caches are released between runs, so every timed
+    # run re-executes extraction + linking + aggs end-to-end. (Rounds
+    # 1-3 reported a WARM number by accident: the warmup's .cache()
+    # entries matched the timed run's logical plan, so Spark served
+    # extraction from cache — kg_graph_pipeline_warm keeps that series
+    # comparable; see SCALE.md.)
+    graph_sec = graph_warm_sec = None
     if not os.environ.get("SPARK_GRAFT_KG_ONLY"):
         from remediner_spark.operators.graph import build_graph
         from remediner_spark.sources.corpus import generate_entity_dictionary
@@ -149,10 +166,17 @@ def main() -> int:
             nodes, edges = build_graph(triples, dictionary)
             return nodes.count(), edges.count()
 
-        graph_run()
+        graph_run()  # warmup (caches left live for the warm leg)
         t0 = time.time()
         graph_run()
-        graph_sec = round(time.time() - t0, 3)
+        graph_warm_sec = round(time.time() - t0, 3)
+        graph_sec = float("inf")
+        for _ in range(2):
+            release_caches(spark)
+            t0 = time.time()
+            graph_run()
+            graph_sec = min(graph_sec, round(time.time() - t0, 3))
+        release_caches(spark)
 
     # --- per-query timings over the provided tables ---
     # (skipped in scaling-curve legs: SPARK_GRAFT_KG_ONLY=1)
@@ -168,13 +192,22 @@ def main() -> int:
                 df = queries[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
 
+            # min-of-2 after one warmup (sub-second walls carry ±30%
+            # single-run scheduler noise — measured, SCALE.md r4), and
+            # release caches so no query pays for a predecessor's
+            # leaked storage (unpersist discipline, session.py)
             run_query()  # warmup
-            t0 = time.time()
-            run_query()
-            q_times[name] = round(time.time() - t0, 3)
+            wall = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                run_query()
+                wall = min(wall, time.time() - t0)
+            q_times[name] = round(wall, 3)
+            release_caches(spark)
     q_times["kg_triple_extraction"] = round(kg_sec, 3)
     if graph_sec is not None:
         q_times["kg_graph_pipeline"] = graph_sec
+        q_times["kg_graph_pipeline_warm"] = graph_warm_sec
 
     result = {
         "metric": "triples_per_sec",

@@ -126,6 +126,50 @@ def build_edges(
     )
 
 
+def nodes_from_edges(
+    edges: DataFrame, surface_links: DataFrame
+) -> DataFrame:
+    """Derive the node table from the (tiny, already-aggregated) edge
+    table: every CAUSES triple contributes exactly one subj DRUG
+    mention and one obj EFFECT mention, so a node's n_mentions equals
+    the sum of its edges' weights — subj side for drugs, obj side for
+    effects. This replaces a full pass over the triple set with an agg
+    over edge rows (entity-pair-vocabulary-sized), same values
+    bit-for-bit (build_nodes is kept as the mention-grain reference
+    and pinned equal in tests). Names/types come from the broadcast
+    id->name map derived from the vocabulary-grain link table."""
+    id_map = (
+        surface_links.withColumn(
+            "entity_id",
+            F.coalesce(
+                F.col("canonical_id"),
+                synthetic_entity_id(F.col("surface_norm"), F.col("entity_type")),
+            ),
+        )
+        .withColumn(
+            "node_name",
+            F.coalesce(F.col("canonical_name"), F.col("surface_norm")),
+        )
+        # aliases of one canonical id all carry the same name/type, and
+        # synthetic ids are 1:1 with surfaces — the dedup is value-safe
+        .dropDuplicates(["entity_id"])
+        .select("entity_id", "node_name", "entity_type")
+    )
+    per_side = F.array(
+        F.struct(F.col("subj_id").alias("entity_id")),
+        F.struct(F.col("obj_id").alias("entity_id")),
+    )
+    counts = (
+        edges.select(F.col("weight"), F.explode(per_side).alias("e"))
+        .groupBy("e.entity_id")
+        .agg(F.sum("weight").alias("n_mentions"))
+    )
+    return counts.join(F.broadcast(id_map), "entity_id").select(
+        "entity_id", F.col("node_name").alias("canonical_name"),
+        "entity_type", "n_mentions",
+    )
+
+
 def build_edges_unsalted(linked_triples: DataFrame) -> DataFrame:
     """Single-phase variant for the salted==unsalted equivalence test."""
     return linked_triples.groupBy("subj_id", "pred", "obj_id").agg(
@@ -135,8 +179,11 @@ def build_edges_unsalted(linked_triples: DataFrame) -> DataFrame:
 
 
 def link_triples(triples: DataFrame, linked_mentions: DataFrame) -> DataFrame:
-    """Attach canonical subj_id/obj_id to CAUSES triples via the linked
-    mention table (broadcast surface->id maps: vocabulary-sized)."""
+    """Attach canonical subj_id/obj_id to CAUSES triples via broadcast
+    surface->id maps (vocabulary-sized). Accepts either grain as the
+    link table: mention-grain link_mentions output or the distinct
+    link_surfaces table (both carry surface_norm/entity_type/
+    canonical_id) — the dropDuplicates collapses to the same map."""
     surf_map = (
         linked_mentions.withColumn(
             "entity_id",
@@ -168,19 +215,37 @@ def build_graph(
 ) -> tuple[DataFrame, DataFrame]:
     """Full M7->M9 path: triples + dictionary -> (nodes, edges).
 
-    The plan branches off `triples` (subj mentions, obj mentions, the
-    id join) and off `linked` (nodes, surface map): without
-    materialization the upstream extraction stage would re-execute per
-    branch (measured 5x wall). Both are cached here; in the production
-    pipeline the triples input is already a checkpointed parquet
-    (plans/pipeline.py), which serves the same purpose durably.
+    The plan branches off `triples` (mentions for nodes, the id join
+    for edges, the distinct-surface pass): without materialization the
+    upstream extraction stage would re-execute per branch (measured 5x
+    wall), so triples are cached; in the production pipeline the
+    triples input is already a checkpointed parquet (plans/pipeline.py),
+    which serves the same purpose durably. Linking is cached at
+    VOCABULARY grain only (link_surfaces): the mention-grain linked
+    table is never materialized — nodes and edges each make one pass
+    over cached triples plus a broadcast join of the tiny link table
+    (the round-3 profile showed the 4.2M-row linked.cache() write
+    dominating this pipeline's wall).
     """
-    from .linking import link_mentions, mentions_from_triples
+    from .linking import (
+        attach_surface_links,
+        link_surfaces,
+        mentions_from_triples,
+        normalized_surface,
+    )
 
     triples = triples.cache()
     mentions = mentions_from_triples(triples)
-    linked = link_mentions(mentions, dictionary).cache()
-    nodes = build_nodes(linked, salt_buckets)
-    with_ids = link_triples(triples, linked)
-    edges = build_edges(with_ids, salt_buckets)
+    surfaces = (
+        mentions.withColumn("surface_norm", normalized_surface("surface"))
+        .select("surface_norm", "entity_type")
+        .dropDuplicates()
+    )
+    surface_links = link_surfaces(surfaces, dictionary).cache()
+    with_ids = link_triples(triples, surface_links)
+    # edges cached (entity-pair-vocabulary-sized): nodes derive from
+    # them, so the triple set is scanned twice total (distinct
+    # surfaces + the id-join/agg), never per output table
+    edges = build_edges(with_ids, salt_buckets).cache()
+    nodes = nodes_from_edges(edges, surface_links)
     return nodes, edges

@@ -125,32 +125,39 @@ def exact_dict_link(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
     )
 
 
-def link_mentions(
-    mentions: DataFrame,
+def link_surfaces(
+    surfaces: DataFrame,
     dictionary: DataFrame,
     jaccard_threshold: float = 0.5,
     bands: int = 8,
     rows: int = 3,
 ) -> DataFrame:
-    """mentions(surface, entity_type, ...) -> + (canonical_id,
+    """DISTINCT (surface_norm, entity_type) rows -> + (canonical_id,
     canonical_name, link_method in {dict, lsh, unlinked}).
 
-    dictionary: (alias, canonical_id, canonical_name, entity_type),
-    assumed dimension-sized -> broadcast.
-    """
+    The whole linking decision is a function of the distinct surface,
+    so it runs at VOCABULARY grain — corpus size never enters. Callers
+    broadcast the result back onto mention/triple rows
+    (attach_surface_links, link_triples); at 100 TB that's the only
+    shape that works, and at bench scale it removed a 4.2M-row
+    mention-grain cache from the graph pipeline."""
     k = bands * rows
     d = dictionary.withColumn("alias_norm", normalized_surface("alias"))
-    exact = exact_dict_link(mentions, dictionary)
-
-    resolved = exact.filter(F.col("canonical_id").isNotNull()).withColumn(
-        "link_method", F.lit("dict")
+    exact = surfaces.alias("m").join(
+        F.broadcast(d.alias("d")),
+        (F.col("m.surface_norm") == F.col("d.alias_norm"))
+        & (F.col("m.entity_type") == F.col("d.entity_type")),
+        "left",
+    ).select(
+        "m.*",
+        F.col("d.canonical_id").alias("canonical_id"),
+        F.col("d.canonical_name").alias("canonical_name"),
     )
-    residual = exact.filter(F.col("canonical_id").isNull()).drop(
-        "canonical_id", "canonical_name"
-    )
 
-    # LSH over DISTINCT unresolved surfaces only (vocabulary-sized)
-    res_surfaces = residual.select("surface_norm", "entity_type").dropDuplicates()
+    res_surfaces = (
+        exact.filter(F.col("canonical_id").isNull())
+        .select("surface_norm", "entity_type")
+    )
     res_sig = band_keys(
         _with_signature(res_surfaces, "surface_norm", k), bands, rows
     )
@@ -199,35 +206,86 @@ def link_mentions(
             ),
         )
         .filter(F.col("rank") == 1)
-        .select("surface_norm", "entity_type", "canonical_id", "canonical_name")
+        .select(
+            "surface_norm", "entity_type",
+            F.col("canonical_id").alias("lsh_id"),
+            F.col("canonical_name").alias("lsh_name"),
+        )
     )
-    lsh_linked = residual.join(
-        F.broadcast(best), ["surface_norm", "entity_type"], "left"
-    ).withColumn(
-        "link_method",
-        F.when(F.col("canonical_id").isNotNull(), F.lit("lsh")).otherwise(
-            F.lit("unlinked")
-        ),
+    # exact output + the (tiny) best-LSH table + a CASE. Dict hits keep
+    # their ids (an LSH candidate can't override — `best` only holds
+    # surfaces the dict missed); residual surfaces take the LSH match
+    # or stay unlinked.
+    base_cols = [c for c in exact.columns if c not in
+                 ("canonical_id", "canonical_name")]
+    return (
+        exact.join(F.broadcast(best), ["surface_norm", "entity_type"], "left")
+        .select(
+            *base_cols,
+            F.coalesce("canonical_id", "lsh_id").alias("canonical_id"),
+            F.coalesce("canonical_name", "lsh_name").alias("canonical_name"),
+            F.when(F.col("canonical_id").isNotNull(), F.lit("dict"))
+            .when(F.col("lsh_id").isNotNull(), F.lit("lsh"))
+            .otherwise(F.lit("unlinked"))
+            .alias("link_method"),
+        )
     )
-    out_cols = resolved.columns
-    return resolved.unionByName(lsh_linked.select(*out_cols))
+
+
+def attach_surface_links(
+    mentions: DataFrame, surface_links: DataFrame
+) -> DataFrame:
+    """Broadcast the vocabulary-grain link table back onto mention
+    rows: adds surface_norm + (canonical_id, canonical_name,
+    link_method). surface_links must cover every mention surface
+    (it does when built from the same mentions' distinct surfaces)."""
+    m = mentions.withColumn("surface_norm", normalized_surface("surface"))
+    return m.join(
+        F.broadcast(surface_links), ["surface_norm", "entity_type"], "left"
+    ).select(
+        *mentions.columns, "surface_norm",
+        "canonical_id", "canonical_name", "link_method",
+    )
+
+
+def link_mentions(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    jaccard_threshold: float = 0.5,
+    bands: int = 8,
+    rows: int = 3,
+) -> DataFrame:
+    """mentions(surface, entity_type, ...) -> + (canonical_id,
+    canonical_name, link_method in {dict, lsh, unlinked}).
+
+    dictionary: (alias, canonical_id, canonical_name, entity_type),
+    assumed dimension-sized -> broadcast. Composition of the two
+    vocabulary-grain stages: distinct surfaces -> link_surfaces ->
+    broadcast back onto the mention grain (two passes over the big
+    side total: the distinct agg and the final join)."""
+    surfaces = (
+        mentions.withColumn("surface_norm", normalized_surface("surface"))
+        .select("surface_norm", "entity_type")
+        .dropDuplicates()
+    )
+    links = link_surfaces(
+        surfaces, dictionary, jaccard_threshold, bands, rows
+    )
+    return attach_surface_links(mentions, links)
 
 
 def mentions_from_triples(triples: DataFrame) -> DataFrame:
     """CAUSES triples -> mention rows (url, warc_ts, sent_idx, surface,
-    entity_type)."""
-    subj = triples.filter(F.col("pred") == "CAUSES").select(
-        "url",
-        "warc_ts",
-        "sent_idx",
-        F.col("subj").alias("surface"),
-        F.lit("DRUG").alias("entity_type"),
+    entity_type): subj as DRUG, obj as EFFECT, via a single-pass
+    explode (a subj/obj union would scan the triples twice)."""
+    pair = F.array(
+        F.struct(F.col("subj").alias("surface"),
+                 F.lit("DRUG").alias("entity_type")),
+        F.struct(F.col("obj").alias("surface"),
+                 F.lit("EFFECT").alias("entity_type")),
     )
-    obj = triples.filter(F.col("pred") == "CAUSES").select(
-        "url",
-        "warc_ts",
-        "sent_idx",
-        F.col("obj").alias("surface"),
-        F.lit("EFFECT").alias("entity_type"),
+    return (
+        triples.filter(F.col("pred") == "CAUSES")
+        .select("url", "warc_ts", "sent_idx", F.explode(pair).alias("m"))
+        .select("url", "warc_ts", "sent_idx", "m.surface", "m.entity_type")
     )
-    return subj.unionByName(obj)

@@ -15,7 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.graph import build_edges, build_nodes, link_triples
+from ..operators.graph import build_edges, link_triples
 from ..operators.linking import link_mentions, mentions_from_triples
 from ..operators.ner import (
     GazetteerTagger,
@@ -70,17 +70,33 @@ def run_pipeline(
     dictionary = spark.read.parquet(
         os.path.join(corpus_dir, "entity_dictionary.parquet")
     )
-    # `triples` branches three ways (mentions, id-join, count) and
-    # `linked` three ways (nodes, surface map, link_counts): without
-    # materialization each branch re-executes the upstream plan — for
-    # an unchecked-pointed run that's the whole Python extraction
-    # stage again (measured 5x wall in build_graph before caching).
+    # `triples` branches several ways (surfaces, mentions, id-join,
+    # count): without materialization each branch re-executes the
+    # upstream plan — for an unchecked-pointed run that's the whole
+    # Python extraction stage again (measured 5x wall in build_graph
+    # before caching). Linking caches at VOCABULARY grain only
+    # (link_surfaces) and is broadcast back per consumer — the
+    # mention-grain linked table is never materialized.
     if not checkpoint:  # checkpointed triples are already parquet-backed
         triples = triples.cache()
+    from ..operators.linking import (
+        attach_surface_links,
+        link_surfaces,
+        normalized_surface,
+    )
+
     mentions = mentions_from_triples(triples)
-    linked = link_mentions(mentions, dictionary).cache()
-    nodes = build_nodes(linked)
-    edges = build_edges(link_triples(triples, linked))
+    surfaces = (
+        mentions.withColumn("surface_norm", normalized_surface("surface"))
+        .select("surface_norm", "entity_type")
+        .dropDuplicates()
+    )
+    surface_links = link_surfaces(surfaces, dictionary).cache()
+    linked = attach_surface_links(mentions, surface_links)
+    from ..operators.graph import nodes_from_edges
+
+    edges = build_edges(link_triples(triples, surface_links)).cache()
+    nodes = nodes_from_edges(edges, surface_links)
 
     # graph tables land in the Iceberg-style format (snapshot history,
     # manifest-planned reads, partition pruning) — sources/table.py

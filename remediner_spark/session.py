@@ -38,3 +38,45 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def release_caches(spark: SparkSession) -> int:
+    """Unpersist every cached DataFrame and persisted RDD in the
+    session; returns how many storage entries were dropped.
+
+    Operators cache deliberately at branch points (graph.build_graph,
+    dedup shingles) and leave the cache live because the CALLER may
+    still consume the branches. In a long-lived session that accretes:
+    executor storage fills with dead blocks and later, unrelated jobs
+    pay GC/eviction for them (the round-3 bench-wall creep). Call this
+    once every consumer of the current query's outputs has finished —
+    never between an operator and its actions (localCheckpoint lineage
+    truncation makes recompute impossible, not just slow)."""
+    n = 0
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    rdd_ids = list(jmap.keys())
+    spark.catalog.clearCache()  # SQL cache manager (df.cache/persist)
+    for rid in rdd_ids:  # raw RDD persists (localCheckpoint et al.)
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(True)
+            n += 1
+    return n
+
+
+class cache_scope:
+    """Context manager: ``with cache_scope(spark): ...`` releases all
+    caches/persists created inside the block on exit — the unpersist
+    discipline for long-lived sessions (bench.py wraps every query in
+    one). Exit is unconditional: it also clears caches that existed
+    before the block, which is the point (scorched-earth isolation),
+    so don't wrap a region whose caller still holds cached branches."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self) -> SparkSession:
+        return self.spark
+
+    def __exit__(self, *exc) -> None:
+        release_caches(self.spark)

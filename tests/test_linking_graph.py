@@ -203,3 +203,42 @@ def test_lsh_recall_vs_exhaustive(spark, triples_df, dictionary_df):
         want = cands[0][2] if cands else None
         got = row.canonical_name if row.link_method == "lsh" else None
         assert got == want, (row.surface_norm, got, want)
+
+
+def test_nodes_from_edges_equals_build_nodes(spark, triples_df, dictionary_df):
+    """The edge-derived node table (what build_graph now emits: one
+    less pass over the triple set) must equal the mention-grain
+    build_nodes aggregation row-for-row."""
+    import pandas as pd
+
+    from remediner_spark.operators.graph import (
+        build_edges,
+        build_nodes,
+        link_triples,
+        nodes_from_edges,
+    )
+    from remediner_spark.operators.linking import (
+        attach_surface_links,
+        link_surfaces,
+        mentions_from_triples,
+        normalized_surface,
+    )
+    from pyspark.sql import functions as F
+
+    mentions = mentions_from_triples(triples_df)
+    surfaces = (
+        mentions.withColumn("surface_norm", normalized_surface("surface"))
+        .select("surface_norm", "entity_type")
+        .dropDuplicates()
+    )
+    surface_links = link_surfaces(surfaces, dictionary_df).cache()
+    want = (
+        build_nodes(attach_surface_links(mentions, surface_links))
+        .toPandas().sort_values("entity_id").reset_index(drop=True)
+    )
+    edges = build_edges(link_triples(triples_df, surface_links))
+    got = (
+        nodes_from_edges(edges, surface_links)
+        .toPandas().sort_values("entity_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
