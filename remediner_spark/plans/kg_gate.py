@@ -183,28 +183,51 @@ def q_kg_final_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def final_model_expected_path() -> str:
+    """The COMMITTED golden parquet (remediner_spark/resources/).
+
+    Round 3 generated the expected file at gate time from the engine's
+    own kernels — which meant a behavior-changing kernel edit would
+    regenerate a matching-but-different expected and the gate would
+    never notice. The golden is now a committed artifact: the gate
+    compares the distributed run against the file as reviewed, and
+    tests/test_final_model.py re-derives it in-process
+    (derive_final_model_expected) and asserts equality, so the
+    committed bytes can't silently drift from the kernels either.
+    Regenerate deliberately with tools/gen_final_model_expected.py
+    after an INTENDED behavior change (and bump
+    FINAL_MODEL_ORACLE_VERSION)."""
     import os
 
     return os.path.join(
-        _fixture_dir(),
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources",
         f"final_model_expected_v{FINAL_MODEL_ORACLE_VERSION}.parquet",
     )
 
 
 def ensure_final_model_expected() -> str:
-    """Materialize the composed model's expected triples by running the
-    SAME segmentation -> normalization -> NER -> M3/M4 -> RE -> M6
-    chain in-process on the driver (no Spark), over the same fixture
-    pages — the independent derivation tests/test_final_model.py
-    checks the fused stage against. Idempotent (seeded corpus + seeded
-    weights); version-suffixed so kernel changes invalidate it."""
+    import os
+
+    path = final_model_expected_path()
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"committed golden missing: {path} — regenerate with "
+            "tools/gen_final_model_expected.py"
+        )
+    return path
+
+
+def derive_final_model_expected():
+    """In-process (no Spark) derivation of the composed model's
+    triples over the fixture pages: the SAME segmentation ->
+    normalization -> NER -> M3/M4 -> RE -> M6 chain the fused stage
+    runs, driver-side. Used by the golden-validation test and the
+    regeneration tool; the gate itself reads only the committed file.
+    Deterministic (seeded corpus + seeded weights)."""
     import os
 
     import pandas as pd
 
-    path = final_model_expected_path()
-    if os.path.exists(path):
-        return path
     from ..kernels.normalize import normalize_series
     from ..kernels.webtext import split_sentences
 
@@ -225,17 +248,7 @@ def ensure_final_model_expected() -> str:
         rows, columns=["url", "sent_idx", "subj", "pred", "obj"]
     )
     exp["sent_idx"] = exp["sent_idx"].astype("int32")
-    # tmp + atomic rename (the ivf.py side-file discipline): a crash
-    # mid-write must never leave a truncated parquet behind the
-    # exists() short-circuit above, which would wedge the gate until
-    # manually deleted
-    import tempfile
-
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
-    os.close(fd)
-    exp.to_parquet(tmp, index=False)
-    os.replace(tmp, path)
-    return path
+    return exp
 
 
 QUERIES = {

@@ -1,29 +1,99 @@
-"""Connected components: known graphs + convergence."""
+"""Connected components: known graphs + convergence.
+
+Both formulations are tested against the same expectations:
+label propagation (O(diameter) rounds, raises past max_iter) and the
+alternating large-star/small-star algorithm (O(log n) rounds,
+diameter-independent — the scale path q_dedup_components uses).
+"""
 
 from __future__ import annotations
 
-from remediner_spark.operators.components import connected_components
+import pytest
+
+from remediner_spark.operators.components import (
+    connected_components,
+    connected_components_star,
+)
+
+IMPLS = [connected_components, connected_components_star]
 
 
-def _components(spark, pairs):
+def _components(spark, pairs, impl=connected_components, **kw):
     df = spark.createDataFrame(pairs, ["src", "dst"])
-    out = connected_components(df).toPandas()
+    out = impl(df, **kw).toPandas()
     return {r.vertex: r.component for r in out.itertuples(index=False)}
 
 
-def test_two_components(spark):
-    got = _components(spark, [(1, 2), (2, 3), (10, 11)])
+@pytest.mark.parametrize("impl", IMPLS)
+def test_two_components(spark, impl):
+    got = _components(spark, [(1, 2), (2, 3), (10, 11)], impl)
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
-def test_chain_converges_to_min(spark):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_chain_converges_to_min(spark, impl):
     # long chain: min label must propagate the full diameter
     chain = [(i, i + 1) for i in range(1, 12)]
-    got = _components(spark, chain)
+    got = _components(spark, chain, impl)
     assert set(got.values()) == {1}
     assert len(got) == 12
 
 
-def test_cycle_and_bridge(spark):
-    got = _components(spark, [(5, 6), (6, 7), (7, 5), (7, 2)])
+@pytest.mark.parametrize("impl", IMPLS)
+def test_cycle_and_bridge(spark, impl):
+    got = _components(spark, [(5, 6), (6, 7), (7, 5), (7, 2)], impl)
     assert set(got.values()) == {2}
+
+
+def test_label_propagation_raises_past_max_iter(spark):
+    """A 50-hop chain needs 50 label-propagation rounds; at
+    max_iter=20 the old code returned silently-unconverged labels —
+    now it must raise."""
+    chain = [(i, i + 1) for i in range(1, 51)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _components(spark, chain, connected_components, max_iter=20)
+
+
+def test_star_converges_where_propagation_cannot(spark):
+    """The same 50-hop chain converges in O(log n) star rounds —
+    well under 20 — and labels every vertex with the chain minimum."""
+    chain = [(i, i + 1) for i in range(1, 51)]
+    got = _components(
+        spark, chain, connected_components_star, max_iter=20
+    )
+    assert set(got.values()) == {1}
+    assert len(got) == 51
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_random_graph_implementations_agree(spark, impl):
+    """Both implementations produce the min-id component labeling on a
+    seeded random graph (checked against a driver-side union-find)."""
+    import random
+
+    rng = random.Random(7)
+    pairs = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(45)
+    ]
+    pairs = [(a, b) for a, b in pairs]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    want = {v: find(v) for v in parent}
+
+    got = _components(spark, pairs, impl)
+    assert got == want

@@ -90,3 +90,22 @@ def test_spark_stage_equals_driver(spark, model, norm_sentences):
     pd.testing.assert_frame_equal(
         got.astype({"sent_idx": "int64"}), want.astype({"sent_idx": "int64"})
     )
+
+
+def test_committed_golden_matches_derivation():
+    """The committed golden parquet (what the driver gate compares the
+    distributed run against) must equal a fresh in-process derivation —
+    a kernel behavior change shows up HERE as a diff against the
+    reviewed artifact instead of silently regenerating the expected."""
+    import pandas as pd
+
+    from remediner_spark.plans.kg_gate import (
+        derive_final_model_expected,
+        ensure_final_model_expected,
+    )
+
+    got = pd.read_parquet(ensure_final_model_expected())
+    want = derive_final_model_expected()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
