@@ -436,6 +436,84 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_PCT_ACCURACY = 100  # GK sketch: rank error <= n / accuracy
+
+
+def q_event_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for percentiles: percentile_approx (Greenwald-
+    Khanna sketch — bounded-size state, map-side mergeable, no
+    per-group global sort/window like the exact path). Sketch merge
+    order is nondeterministic in a distributed agg, so the VALUE is
+    not cross-engine checkable; what IS deterministic is the GK
+    guarantee. The query therefore emits a per-(group, pct) CERTIFICATE:
+    it looks up the returned element's true rank interval
+    [count(<v), count(<=v)-1] and checks it lies within
+    n/accuracy (+2 slack for target-rank convention differences) of
+    the exact path's target rank. The oracle enumerates the same
+    (event_type, pct) universe with within_bound=true — any bound
+    violation or missing group hash-mismatches. The exact rank-selection
+    form (q_event_percentiles) stays the reproducible-answer path."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ap = (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile_approx(
+                "value",
+                F.array(*[F.lit(p / 100.0) for p in PCTS]),
+                F.lit(APPROX_PCT_ACCURACY),
+            ).alias("_vals"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "event_type",
+            "_n",
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(p).cast("long") for p in PCTS]).alias(
+                        "pct"
+                    ),
+                    F.col("_vals").alias("v"),
+                )
+            ).alias("_pv"),
+        )
+        .select(
+            "event_type",
+            "_n",
+            F.col("_pv")["pct"].alias("pct"),
+            F.col("_pv")["v"].alias("_v"),
+        )
+    )
+    ranks = (
+        events.join(ap, "event_type")
+        .groupBy("event_type", "pct", "_v", "_n")
+        .agg(
+            F.sum(
+                F.when(F.col("value") < F.col("_v"), 1).otherwise(0)
+            ).alias("_r_lo"),
+            F.sum(
+                F.when(F.col("value") <= F.col("_v"), 1).otherwise(0)
+            ).alias("_r_hi"),
+        )
+    )
+    target = F.floor((F.col("_n") - 1) * F.col("pct") / 100)
+    tol = F.floor(F.col("_n") / APPROX_PCT_ACCURACY) + 2
+    return ranks.select(
+        "event_type",
+        "pct",
+        (
+            (target >= F.col("_r_lo") - tol)
+            & (target <= F.col("_r_hi") - 1 + tol)
+        ).alias("within_bound"),
+    )
+
+
+SQL_EVENT_PERCENTILES_APPROX = f"""
+SELECT DISTINCT event_type, CAST(pct AS BIGINT) AS pct,
+       TRUE AS within_bound
+FROM events
+CROSS JOIN (SELECT unnest([{", ".join(str(p) for p in PCTS)}]) AS pct)"""
+
+
 SQL_EVENT_PERCENTILES = f"""
 WITH ranked AS (
   SELECT event_type, value,
@@ -467,6 +545,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "sessionize_native": q_sessionize_native,
     "event_percentiles": q_event_percentiles,
+    "event_percentiles_approx": q_event_percentiles_approx,
 }
 
 ORACLES = {
@@ -486,4 +565,5 @@ ORACLES = {
     "sessionize": SQL_SESSIONIZE,
     "sessionize_native": SQL_SESSIONIZE_NATIVE,
     "event_percentiles": SQL_EVENT_PERCENTILES,
+    "event_percentiles_approx": SQL_EVENT_PERCENTILES_APPROX,
 }

@@ -199,3 +199,59 @@ def test_stream_linked_mentions_match_batch(spark, tmp_path, tagger_bc):
     assert len(got) == len(want) > 0
     assert set(got["link_method"]) == {"dict", "unlinked"}
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_stream_lsh_linking_equals_batch(spark, tmp_path, tagger_bc):
+    """Per-micro-batch dict+MinHash-LSH linking (foreachBatch) must
+    equal ONE batch run of the same linker over all pages, row for
+    row — the linking decision is a pure function of (surface,
+    static dictionary), so batch membership can't change any row."""
+    import pandas as pd
+
+    from remediner_spark.operators.graph import with_entity_ids
+    from remediner_spark.operators.linking import (
+        link_mentions,
+        mentions_from_triples,
+    )
+    from remediner_spark.sources.corpus import generate_entity_dictionary
+    from remediner_spark.streaming import (
+        _LINKED_COLS,
+        stream_linked_mentions_lsh,
+    )
+
+    pages_dir, _ = _write_pages_split(tmp_path, n_pages=80)
+    dictionary = spark.createDataFrame(generate_entity_dictionary())
+    out = str(tmp_path / "linked_lsh_stream")
+    ckpt = str(tmp_path / "ckpt_linked_lsh")
+    q = stream_linked_mentions_lsh(
+        spark, pages_dir, dictionary, out, ckpt, tagger_bc
+    )
+    q.awaitTermination(180)
+
+    key = ["url", "sent_idx", "surface_norm", "entity_type"]
+    got = (
+        spark.read.parquet(out)
+        .select(*_LINKED_COLS)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pages_df = filter_language(spark.read.parquet(pages_dir))
+    want = (
+        with_entity_ids(
+            link_mentions(
+                mentions_from_triples(
+                    extract_triples_stage(pages_df, tagger_bc)
+                ),
+                dictionary,
+            )
+        )
+        .select(*_LINKED_COLS)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    # the typo surfaces exercise the LSH path in this corpus
+    assert "lsh" in set(got["link_method"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
