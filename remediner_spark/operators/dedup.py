@@ -247,6 +247,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
+    # the LSH bucket join is a SELF-join of `bands` — without a
+    # persist both sides recompute the full shingle -> 24-minhash ->
+    # band chain (measured ~2x the query wall at sf0.1; round 3's
+    # bench hid this by accidentally reusing the ngram query's
+    # persisted shingles across queries). Bounded: n_docs x MH_BANDS
+    # rows of constant width, MEMORY_AND_DISK so 100 TB spills rather
+    # than evicts. Deliberate leak, same contract as the ngram persist
+    # above; release with session.cache_scope when the consumer is done.
+    from pyspark.storagelevel import StorageLevel
+
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     return (
         bands.alias("a")
         .join(
