@@ -399,9 +399,20 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would NULL the zip_with dot product, collapse every row into one
     # band key, and silently degrade the band join to all-pairs
     dim = int(emb.select(F.size("v").alias("d")).first()["d"])
+    from pyspark.storagelevel import StorageLevel
+
+    # same self-join shape as the minhash band table: without a
+    # persist each side of the candidate join recomputes all
+    # bands x rows-per-band hyperplane dot products; the verify joins
+    # below also rescan emb twice. Both persists are bounded
+    # (n_vecs x bands short rows; n_vecs x dim doubles) and released
+    # by session.cache_scope.
+    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
     bands = emb.select(
         "vec_id", F.explode(_emb_band_structs(F.col("v"), dim)).alias("band")
-    ).select("vec_id", "band.band_idx", "band.band_key")
+    ).select("vec_id", "band.band_idx", "band.band_key").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand = (
         bands.alias("a")
         .join(
