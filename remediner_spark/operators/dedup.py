@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .textstats import md5_hash32_expr, md5_hash32_sql
+from .textstats import (
+    md5_hash32_expr,
+    md5_hash32_sql,
+    md5_hash60_expr,
+    md5_hash60_sql,
+)
 
 NGRAM_N = 3
 JACCARD_T = 0.6
@@ -453,12 +458,93 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {COS_T}"""
 
 
+SPAN_K = 8  # word k-grams for duplicated-span coverage
+
+
+def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine-grained (substring-level) dedup metric, the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" shape:
+    for every document, how many of its word K-gram POSITIONS are
+    covered by a K-gram that also appears in at least one other
+    document. Exact-duplicate detection removes whole documents;
+    span coverage finds boilerplate/quote contamination INSIDE
+    otherwise-unique documents — the per-doc (dup_kgrams,
+    total_kgrams) pair is what a curation pipeline thresholds on.
+
+    Scale shape: grams are hashed to 60-bit md5 prefixes so the two
+    shuffles (distinct-doc count per gram; the flag join back) carry
+    8-byte keys, never gram strings; both are keyed on the same
+    column so the aggregated side reuses the exchange. Head grams
+    (site boilerplate in 10^9 docs) have O(1) count state map-side,
+    and the flag join multiplies nothing (one row per gram on the
+    aggregated side). Output is pure integers — exact cross-engine.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    n = F.size("ws")
+    # sequence() with stop < start counts DOWN — guard short docs
+    idx = F.when(
+        n >= SPAN_K, F.sequence(F.lit(0), n - SPAN_K)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: md5_hash60_expr(
+                    F.array_join(F.slice("ws", i + 1, SPAN_K), " ")
+                ),
+            )
+        ).alias("g"),
+    )
+    n_docs_per_gram = (
+        grams.dropDuplicates(["g", "doc_id"])
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+    )
+    dup_hits = (
+        grams.join(n_docs_per_gram.filter(F.col("_nd") >= 2), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_kgrams"))
+    )
+    totals = docs.select(
+        "doc_id", F.greatest(n - (SPAN_K - 1), F.lit(0)).cast("long").alias(
+            "total_kgrams"
+        )
+    )
+    return totals.join(dup_hits, "doc_id", "left").select(
+        "doc_id",
+        "total_kgrams",
+        F.coalesce("dup_kgrams", F.lit(0)).cast("long").alias("dup_kgrams"),
+    )
+
+
+def sql_dedup_span_coverage() -> str:
+    gram = f"array_to_string(ws[i:i+{SPAN_K - 1}], ' ')"
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, {md5_hash60_sql(gram)} AS g
+  FROM w, LATERAL unnest(range(1, len(ws) - {SPAN_K} + 2)) AS t(i)
+  WHERE len(ws) >= {SPAN_K}),
+nd AS (SELECT g, count(DISTINCT doc_id) AS n FROM g GROUP BY g),
+hits AS (
+  SELECT doc_id, count(*) AS dup_kgrams
+  FROM g JOIN nd USING (g) WHERE nd.n >= 2 GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(greatest(len(ws) - {SPAN_K - 1}, 0) AS BIGINT) AS total_kgrams,
+       CAST(coalesce(h.dup_kgrams, 0) AS BIGINT) AS dup_kgrams
+FROM w LEFT JOIN hits h ON w.doc_id = h.doc_id"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embed_cosine": q_dedup_embed_cosine,
+    "dedup_span_coverage": q_dedup_span_coverage,
 }
 
 ORACLES = {
@@ -467,4 +553,5 @@ ORACLES = {
     "dedup_minhash_lsh": sql_dedup_minhash(),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_embed_cosine": SQL_DEDUP_EMBED,
+    "dedup_span_coverage": sql_dedup_span_coverage(),
 }

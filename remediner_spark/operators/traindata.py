@@ -220,6 +220,122 @@ FROM s LEFT JOIN hits h ON s.doc_id = h.doc_id
 WHERE s.doc_id % {EVAL_MOD} <> 0"""
 
 
+# ---- Bloom-filter decontamination -----------------------------------
+#
+# The exact variant above joins against the eval set's raw n-gram
+# strings; at benchmark-suite scale those are broadcastable, but a
+# LARGE held-out corpus (multi-TB eval suites, all prior test sets)
+# is not. The Bloom form compresses the eval side to a set of BIT
+# POSITIONS — <= min(M, K*n) integers regardless of gram string
+# length — which broadcasts at a fraction of the raw size. Spark's
+# built-in bloom_filter_agg is not in the public registry (and its
+# bitmap bytes are not portable across engines anyway), so the filter
+# is built RELATIONALLY from the repo's md5-LCG hash family: fully
+# deterministic, so DuckDB reproduces the decision bit-for-bit —
+# false positives included — and the oracle is exact, not a bound
+# check. No false negatives by construction (every truly-contaminated
+# gram has all its positions set); tests pin exact subset-of bloom.
+
+BLOOM_M = 1 << 20  # filter bits
+BLOOM_K = 4  # hash functions
+_BLOOM_P = (1 << 31) - 1
+BLOOM_A = [2654435761, 2246822519, 3266489917, 668265263]
+BLOOM_B = [97, 7919, 104729, 1299709]
+
+
+def _bloom_positions_expr(shingle):
+    """Array of the K bit positions for one gram. (h%P)*A keeps the
+    product under 2^63 (Spark 4 ANSI overflow is a hard error)."""
+    h = md5_hash32_expr(shingle) % _BLOOM_P
+    return F.array(
+        *[
+            ((h * BLOOM_A[i] + BLOOM_B[i]) % _BLOOM_P % BLOOM_M).cast("long")
+            for i in range(BLOOM_K)
+        ]
+    )
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination: flag training docs whose
+    word n-grams hit the eval subset's Bloom filter. A gram is flagged
+    iff ALL K of its bit positions are set — the membership test is a
+    join of the exploded (gram, position) rows against the set-bit
+    table with a count==K gate. FP rate (1-e^(-Kn/M))^K; flagged is a
+    SUPERSET of the exact decontaminate verdict (no false negatives)."""
+    from .dedup import _shingles_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", _shingles_expr(F.col("text")).alias("sh")
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    ev_pos = (
+        docs.filter(is_eval)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+        .select(F.explode(_bloom_positions_expr(F.col("shingle"))).alias("pos"))
+        .distinct()
+    )
+    tr = docs.filter(~is_eval).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    tr_pos = tr.select(
+        "doc_id", "shingle",
+        F.explode(_bloom_positions_expr(F.col("shingle"))).alias("pos"),
+    )
+    # shingles are array_distinct per doc, so (doc_id, shingle) is a
+    # key; a gram whose positions collide with each other still counts
+    # its matched slots, which preserves the all-K-set semantics
+    flagged = (
+        tr_pos.join(ev_pos, "pos")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .filter(F.col("_k") == BLOOM_K)
+    )
+    hits = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bloom_hits")
+    )
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bloom_hits", F.lit(0)).cast("long").alias(
+                "n_bloom_hits"
+            ),
+            (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def sql_decontaminate_bloom() -> str:
+    from .dedup import _shingles_sql
+
+    sh = _shingles_sql("text")
+    h = f"({md5_hash32_sql('shingle')} % {_BLOOM_P})"
+    pos_list = ", ".join(
+        f"(h * {BLOOM_A[i]} + {BLOOM_B[i]}) % {_BLOOM_P} % {BLOOM_M}"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {sh} AS sh FROM documents),
+evg AS (SELECT DISTINCT unnest(sh) AS shingle FROM s
+        WHERE doc_id % {EVAL_MOD} = 0),
+evh AS (SELECT {h} AS h FROM evg),
+evpos AS (SELECT DISTINCT unnest([{pos_list}]) AS pos FROM evh),
+tr AS (SELECT doc_id, unnest(sh) AS shingle FROM s
+       WHERE doc_id % {EVAL_MOD} <> 0),
+trh AS (SELECT doc_id, shingle, {h} AS h FROM tr),
+trpos AS (SELECT doc_id, shingle, unnest([{pos_list}]) AS pos FROM trh),
+fl AS (SELECT doc_id, shingle FROM trpos JOIN evpos USING (pos)
+       GROUP BY doc_id, shingle HAVING count(*) = {BLOOM_K}),
+hits AS (SELECT doc_id, count(*) AS n FROM fl GROUP BY doc_id)
+SELECT s.doc_id, CAST(coalesce(h2.n, 0) AS BIGINT) AS n_bloom_hits,
+       coalesce(h2.n, 0) > 0 AS contaminated
+FROM s LEFT JOIN hits h2 ON s.doc_id = h2.doc_id
+WHERE s.doc_id % {EVAL_MOD} <> 0"""
+
+
 WEIGHT_DENOM = 1_000_000  # hash-threshold resolution (ppm)
 WEIGHT_CHARS = 1000  # keep probability = min(1, n_chars / WEIGHT_CHARS)
 
@@ -398,6 +514,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "chunk_documents": q_chunk_documents,
     "decontaminate": q_decontaminate,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "top_ngrams": q_top_ngrams,
     "source_mixture": q_source_mixture,
     "sample_weighted": q_sample_weighted,
@@ -409,6 +526,7 @@ ORACLES = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "decontaminate": sql_decontaminate(),
+    "decontaminate_bloom": sql_decontaminate_bloom(),
     "top_ngrams": sql_top_ngrams(),
     "source_mixture": SQL_SOURCE_MIXTURE,
     "sample_weighted": SQL_SAMPLE_WEIGHTED,

@@ -1,0 +1,83 @@
+"""Bloom decontamination guarantees + span-coverage sanity."""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _need_testdata():
+    import os
+
+    if not os.path.exists(f"{SF_DIR}/documents.parquet"):
+        pytest.skip("driver testdata not present")
+
+
+def test_bloom_flags_superset_of_exact(spark):
+    """No false negatives by construction: every doc the exact
+    decontaminate flags must be flagged by the Bloom variant (the
+    reverse can differ — those are the bounded false positives)."""
+    from remediner_spark.operators.traindata import (
+        q_decontaminate,
+        q_decontaminate_bloom,
+    )
+
+    exact = q_decontaminate(spark, SF_DIR).toPandas().set_index("doc_id")
+    bloom = (
+        q_decontaminate_bloom(spark, SF_DIR).toPandas().set_index("doc_id")
+    )
+    assert set(exact.index) == set(bloom.index)
+    joined = exact.join(bloom, lsuffix="_e", rsuffix="_b")
+    fn = joined[joined["contaminated_e"] & ~joined["contaminated_b"]]
+    assert len(fn) == 0, f"bloom false negatives: {fn.index.tolist()[:5]}"
+    # and per-gram counts can only grow (every exact hit is a bloom hit)
+    assert (joined["n_bloom_hits"] >= joined["n_hits"]).all()
+    # sanity: the exact path flags something at this SF
+    assert joined["contaminated_e"].any()
+
+
+def test_span_coverage_bounds_and_known_dups(spark):
+    """dup_kgrams <= total_kgrams everywhere; the corpus's built-in
+    near-duplicates must show substantial span coverage; and a doc
+    shorter than K words reports zero grams."""
+    from remediner_spark.operators.dedup import (
+        SPAN_K,
+        q_dedup_ngram_jaccard,
+        q_dedup_span_coverage,
+    )
+
+    cov = q_dedup_span_coverage(spark, SF_DIR).toPandas()
+    assert (cov["dup_kgrams"] <= cov["total_kgrams"]).all()
+    assert (cov["dup_kgrams"] >= 0).all()
+    ndocs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(cov) == ndocs
+
+    # near-dup pairs (word-3-gram jaccard >= 0.6) share long spans:
+    # their span coverage at K=8 must be > 0
+    pairs = q_dedup_ngram_jaccard(spark, SF_DIR).toPandas()
+    if len(pairs):
+        dup_ids = set(pairs["doc_a"]) | set(pairs["doc_b"])
+        by_id = cov.set_index("doc_id")
+        frac = [
+            by_id.loc[d, "dup_kgrams"] / max(by_id.loc[d, "total_kgrams"], 1)
+            for d in dup_ids
+        ]
+        assert sum(f > 0 for f in frac) == len(frac)
+    # short-doc guard: build one directly
+    import pandas as pd
+
+    from remediner_spark.operators.dedup import q_dedup_span_coverage as q
+
+    short = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["one two three", "a b c d e f g h i"]}
+    )
+    d = str(pytest.importorskip("tempfile").mkdtemp())
+    spark.createDataFrame(short).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    out = q(spark, d).toPandas().set_index("doc_id")
+    assert out.loc[1, "total_kgrams"] == 0  # 3 words < K=8
+    assert out.loc[2, "total_kgrams"] == 9 - SPAN_K + 1
+    assert (out["dup_kgrams"] == 0).all()
