@@ -215,37 +215,106 @@ def build_graph(
 ) -> tuple[DataFrame, DataFrame]:
     """Full M7->M9 path: triples + dictionary -> (nodes, edges).
 
-    The plan branches off `triples` (mentions for nodes, the id join
-    for edges, the distinct-surface pass): without materialization the
-    upstream extraction stage would re-execute per branch (measured 5x
-    wall), so triples are cached; in the production pipeline the
-    triples input is already a checkpointed parquet (plans/pipeline.py),
-    which serves the same purpose durably. Linking is cached at
-    VOCABULARY grain only (link_surfaces): the mention-grain linked
-    table is never materialized — nodes and edges each make one pass
-    over cached triples plus a broadcast join of the tiny link table
-    (the round-3 profile showed the 4.2M-row linked.cache() write
-    dominating this pipeline's wall).
+    Single-pass surface-first formulation: the only corpus-grain work
+    is one salted aggregation keyed by (subj, obj) surface pair —
+    triples are consumed as a stream (no cache), and linking,
+    id-merging and nodes all run on vocabulary-sized tables after the
+    aggregation. `triples` may be a lazy extraction stage (the agg
+    fuses into its job) or a checkpointed parquet (plans/pipeline.py).
     """
-    from .linking import (
-        attach_surface_links,
-        link_surfaces,
-        mentions_from_triples,
-        normalized_surface,
+    # ONE pass over the triple stream, no corpus-grain cache anywhere:
+    # the salted aggregation runs keyed by SURFACE pair first (fused
+    # into the same job as extraction when triples is a lazy stage),
+    # producing a surface-pair-vocabulary-sized table. Everything
+    # after — distinct surfaces, linking, the surface->id merge, and
+    # nodes — operates on vocabulary-sized inputs. Versus the previous
+    # cache-triples-then-scan-twice plan this removes the 2.1M-row
+    # cache write and a second full pass (cold wall ~10.5s -> ~9s at
+    # sf0.1/32c, where the residue is the salted collect_set agg plus
+    # ~10 small sequential AQE stages); at 10^12 docs the win is
+    # structural — no trillion-row intermediate is ever cached, and
+    # executor storage stays free for the operators that need it.
+    # The surface->id merge
+    # re-aggregates because alias surfaces can map to one canonical
+    # pair; smallest-k union of per-pair smallest-k keeps sample_urls
+    # exact (any global top-k url is in its pair's top-k), pinned by
+    # the test equality with the mention-grain build_nodes/build_edges.
+    t = triples.filter(F.col("pred") == "CAUSES")
+    partial = (
+        t.withColumn("_salt", _salt(salt_buckets))
+        .groupBy("subj", "obj", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_w"),
+            F.min("warc_ts").alias("_first"),
+            F.slice(
+                F.array_sort(F.collect_set("url")), 1, SAMPLE_URLS
+            ).alias("_urls"),
+        )
     )
+    surface_edges = partial.groupBy("subj", "obj").agg(
+        F.sum("_w").alias("_w"),
+        F.min("_first").alias("_first"),
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_urls")))),
+            1,
+            SAMPLE_URLS,
+        ).alias("_urls"),
+    ).cache()
 
-    triples = triples.cache()
-    mentions = mentions_from_triples(triples)
+    from .linking import link_surfaces
+
     surfaces = (
-        mentions.withColumn("surface_norm", normalized_surface("surface"))
-        .select("surface_norm", "entity_type")
+        surface_edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("subj").alias("surface_norm"),
+                        F.lit("DRUG").alias("entity_type"),
+                    ),
+                    F.struct(
+                        F.col("obj").alias("surface_norm"),
+                        F.lit("EFFECT").alias("entity_type"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.surface_norm", "s.entity_type")
         .dropDuplicates()
     )
     surface_links = link_surfaces(surfaces, dictionary).cache()
-    with_ids = link_triples(triples, surface_links)
-    # edges cached (entity-pair-vocabulary-sized): nodes derive from
-    # them, so the triple set is scanned twice total (distinct
-    # surfaces + the id-join/agg), never per output table
-    edges = build_edges(with_ids, salt_buckets).cache()
+    id_map = surface_links.withColumn(
+        "entity_id",
+        F.coalesce(
+            F.col("canonical_id"),
+            synthetic_entity_id(F.col("surface_norm"), F.col("entity_type")),
+        ),
+    )
+    drugs = id_map.filter(F.col("entity_type") == "DRUG").select(
+        F.col("surface_norm").alias("subj"), F.col("entity_id").alias("subj_id")
+    )
+    effects = id_map.filter(F.col("entity_type") == "EFFECT").select(
+        F.col("surface_norm").alias("obj"), F.col("entity_id").alias("obj_id")
+    )
+    edges = (
+        surface_edges.join(F.broadcast(drugs), "subj")
+        .join(F.broadcast(effects), "obj")
+        .groupBy("subj_id", "obj_id")
+        .agg(
+            F.sum("_w").alias("weight"),
+            F.min("_first").alias("first_seen"),
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("_urls")))
+                ),
+                1,
+                SAMPLE_URLS,
+            ).alias("sample_urls"),
+        )
+        .select(
+            "subj_id", F.lit("CAUSES").alias("pred"), "obj_id",
+            "weight", "first_seen", "sample_urls",
+        )
+        .cache()
+    )
     nodes = nodes_from_edges(edges, surface_links)
     return nodes, edges
