@@ -92,3 +92,31 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_docs_a")
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
+
+
+def test_graph_edges_single_extraction_pass(spark, corpus_dir):
+    """The surface-first graph formulation must run the Python
+    extraction stage EXACTLY once in the edge plan (one fused pass:
+    extraction -> salted surface-pair agg), never once per consumer —
+    the multi-pass regression this round removed. The plan must also
+    carry no InMemoryRelation below the aggregation (triples are
+    streamed, not cached)."""
+    from remediner_spark.operators.graph import build_graph
+    from remediner_spark.operators.ner import extract_triples_stage
+    from remediner_spark.operators.text import filter_language
+    from remediner_spark.plans.pipeline import default_tagger_bc
+    from remediner_spark.sources.corpus import generate_entity_dictionary
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    triples = extract_triples_stage(
+        filter_language(pages), default_tagger_bc(spark)
+    )
+    dictionary = spark.createDataFrame(generate_entity_dictionary())
+    nodes, edges = build_graph(triples, dictionary)
+    plan = plan_of(edges)
+    # formatted explain re-prints cached subtrees inside every
+    # InMemoryRelation, so count UNIQUE operator ids, not text hits
+    import re
+
+    ids = set(re.findall(r"^\((\d+)\) MapInPandas", plan, re.MULTILINE))
+    assert len(ids) == 1, plan[:2000]
