@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.graph import build_edges, link_triples
-from ..operators.linking import link_mentions, mentions_from_triples
+from ..operators.linking import mentions_from_triples
 from ..operators.ner import (
     GazetteerTagger,
     extract_triples_stage,

@@ -42,7 +42,8 @@ def get_spark(
 
 def release_caches(spark: SparkSession) -> int:
     """Unpersist every cached DataFrame and persisted RDD in the
-    session; returns how many storage entries were dropped.
+    session; returns how many RAW RDD persists were dropped (SQL-cache
+    entries are cleared wholesale and not counted).
 
     Operators cache deliberately at branch points (graph.build_graph,
     dedup shingles) and leave the cache live because the CALLER may
@@ -67,8 +68,9 @@ def release_caches(spark: SparkSession) -> int:
 class cache_scope:
     """Context manager: ``with cache_scope(spark): ...`` releases all
     caches/persists created inside the block on exit — the unpersist
-    discipline for long-lived sessions (bench.py wraps every query in
-    one). Exit is unconditional: it also clears caches that existed
+    discipline for long-lived sessions (bench.py applies the same
+    release between queries). Exit is unconditional: it also clears
+    caches that existed
     before the block, which is the point (scorched-earth isolation),
     so don't wrap a region whose caller still holds cached branches."""
 
