@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "kg_top_effects_per_drug",
     "kg_drug_similarity",
     "sessionize",
+    # round-4 additions
+    "event_percentiles_approx",
+    "decontaminate_bloom",
+    "dedup_span_coverage",
 ]
 
 # base pages generated pandas-side, then tiled with distinct urls to

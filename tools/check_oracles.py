@@ -47,7 +47,7 @@ def main() -> int:
     name_filter = sys.argv[2:]
 
     import __spark_entry__ as entrymod
-    from remediner_spark.session import get_spark
+    from remediner_spark.session import get_spark, release_caches
 
     spark = get_spark(app_name="oracle-check", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
@@ -98,6 +98,10 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)} ({dt:.1f}s)")
         else:
             print(f"ok    {name}: {len(got)} rows ({dt:.1f}s)")
+        # unpersist the query's deliberate branch caches (dedup
+        # shingles/bands, graph vocab tables) so 69 queries in one
+        # session don't accrete dead storage blocks
+        release_caches(spark)
     spark.stop()
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
