@@ -251,8 +251,19 @@ def derive_final_model_expected():
     return exp
 
 
+def q_kg_inverse_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAUSES triples + the (effect, TREATED_WITH, drug) inverse view
+    the production pipeline writes (operators/ner.with_inverse_triples,
+    run_pipeline's triples_out table) — previously written by the
+    pipeline but never oracle-gated."""
+    from ..operators.ner import with_inverse_triples
+
+    return with_inverse_triples(q_kg_triples(spark, ""))
+
+
 QUERIES = {
     "kg_pipeline_triples": q_kg_triples,
+    "kg_inverse_triples": q_kg_inverse_triples,
     "kg_linked_mentions": q_kg_linked_mentions,
     "kg_nodes": q_kg_nodes,
     "kg_edges": q_kg_edges,
@@ -395,6 +406,13 @@ FROM read_csv('{d}/drug_ae.rel', delim='|', header=false, quote='',
             f"SELECT url, warc_ts, sent_idx, subj, pred, obj "
             f"FROM read_parquet('{d}/gold_triples.parquet')"
         ),
+        "kg_inverse_triples": f"""
+SELECT url, warc_ts, sent_idx, subj, pred, obj
+FROM read_parquet('{d}/gold_triples.parquet')
+UNION ALL
+SELECT url, warc_ts, sent_idx, obj AS subj,
+       'TREATED_WITH' AS pred, subj AS obj
+FROM read_parquet('{d}/gold_triples.parquet')""",
         "kg_linked_mentions": f"""
 WITH {ctes}
 SELECT url, warc_ts, sent_idx, surface_norm, entity_type, entity_id,

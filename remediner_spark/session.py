@@ -32,6 +32,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # int64 micros, not the deprecated INT96: Iceberg's required
+        # timestamp representation, and INT96 columns carry NO footer
+        # min/max stats — which would silently disable data skipping
+        # on every timestamp column (sources/table.py stats pruning)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -72,6 +72,79 @@ def _partition_match(file_entry: dict, partition_filter: dict) -> bool:
     return True
 
 
+# column-stat limits: strings longer than this are skipped (parquet
+# writers may truncate or omit long BYTE_ARRAY statistics, and a
+# truncated max used as an upper bound would FALSELY prune files)
+_STATS_MAX_STR = 60
+
+
+def _stats_value(v):
+    """Canonical JSON-safe form of a stats bound; None = unusable.
+    Timestamps serialize as ISO strings (lexicographic == chronological
+    for a fixed format), numerics/strings as-is."""
+    import datetime
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v if len(v) <= _STATS_MAX_STR else None
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return None
+
+
+def _file_column_stats(pf) -> dict:
+    """{col: [min, max]} from the parquet FOOTER (no data scan).
+    A column is recorded only when every row group has exact min/max
+    of a serializable type — absence means 'unprunable', never
+    'empty'. Nested columns are skipped."""
+    md = pf.metadata
+    ncols = md.num_columns
+    mins: list = [None] * ncols
+    maxs: list = [None] * ncols
+    ok = [True] * ncols
+    for rg in range(md.num_row_groups):
+        for ci in range(ncols):
+            if not ok[ci]:
+                continue
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok[ci] = False
+                continue
+            lo, hi = _stats_value(st.min), _stats_value(st.max)
+            if lo is None or hi is None:
+                ok[ci] = False
+                continue
+            mins[ci] = lo if mins[ci] is None else min(mins[ci], lo)
+            maxs[ci] = hi if maxs[ci] is None else max(maxs[ci], hi)
+    out = {}
+    for ci in range(ncols):
+        name = md.schema.column(ci).path
+        if ok[ci] and md.num_row_groups > 0 and "." not in name:
+            out[name] = [mins[ci], maxs[ci]]
+    return out
+
+
+def _stats_match(file_entry: dict, stats_filter: dict) -> bool:
+    """True unless some column's recorded [min, max] is disjoint from
+    the requested [lo, hi] (None bound = unbounded). Files without
+    stats for a column are kept — skipping is an optimization, never
+    a correctness gate."""
+    stats = file_entry.get("stats") or {}
+    for col, (lo, hi) in stats_filter.items():
+        if col not in stats:
+            continue
+        fmin, fmax = stats[col]
+        lo_c, hi_c = _stats_value(lo), _stats_value(hi)
+        if lo_c is not None and fmax < lo_c:
+            return False
+        if hi_c is not None and fmin > hi_c:
+            return False
+    return True
+
+
 def _collect_file_entries(data_dir: str, partition_by: list[str]) -> list[dict]:
     import pyarrow.parquet as pq
 
@@ -94,11 +167,16 @@ def _collect_file_entries(data_dir: str, partition_by: list[str]) -> list[dict]:
                     # escapes a literal '%', so every %XX here is an
                     # escape.
                     partition[unquote(k)] = unquote(v)
+            pf = pq.ParquetFile(fpath)
             entries.append(
                 {
                     "path": fpath,
                     "partition": partition,
-                    "rows": pq.ParquetFile(fpath).metadata.num_rows,
+                    "rows": pf.metadata.num_rows,
+                    # footer min/max per column: the Iceberg
+                    # data-skipping stats (value-range pruning beyond
+                    # partition pruning), free at write time
+                    "stats": _file_column_stats(pf),
                 }
             )
     return entries
@@ -201,9 +279,18 @@ def read_table(
     path: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    stats_filter: dict | None = None,
 ) -> DataFrame:
     """Plan the read from the manifest: pick the snapshot, prune files
-    by partition values, scan only the surviving files."""
+    by partition values AND per-file column min/max stats, scan only
+    the surviving files.
+
+    ``stats_filter`` maps column -> (lo, hi) (either bound None for
+    open-ended): files whose recorded [min, max] range is disjoint are
+    never opened (Iceberg data skipping), and the SAME range predicate
+    is applied row-level to the surviving files, so the result equals
+    a full scan + filter exactly — pruning is a transparent
+    optimization, evidenced by stats_pruned_count."""
     snapshots = _load_snapshots(path)
     if not snapshots:
         raise FileNotFoundError(f"no table at {path}")
@@ -217,13 +304,25 @@ def read_table(
     files = snap["files"]
     if partition_filter:
         files = [f for f in files if _partition_match(f, partition_filter)]
+    if stats_filter:
+        files = [f for f in files if _stats_match(f, stats_filter)]
     if not files:
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(snap["schema"])
-        return spark.createDataFrame([], schema)
-    df = spark.read.parquet(*[f["path"] for f in files])
-    return _attach_partition_cols(spark, df, files, snap["partition_by"])
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.parquet(*[f["path"] for f in files])
+        df = _attach_partition_cols(spark, df, files, snap["partition_by"])
+    if stats_filter:
+        from pyspark.sql import functions as F
+
+        for col, (lo, hi) in stats_filter.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+    return df
 
 
 def _attach_partition_cols(
@@ -372,6 +471,22 @@ def expire_snapshots(path: str, keep_last: int = 2) -> dict:
         if os.path.exists(fpath):
             os.remove(fpath)
     return {"removed_snapshots": len(dropped), "deleted_files": len(dead)}
+
+
+def stats_pruned_count(
+    path: str, stats_filter: dict, snapshot_id: int | None = None
+) -> tuple[int, int]:
+    """(selected, total) file counts for a column-range filter —
+    data-skipping evidence (the stats analogue of pruned_file_count)."""
+    snapshots = _load_snapshots(path)
+    snap = snapshots[-1] if snapshot_id is None else [
+        s for s in snapshots if s["snapshot_id"] == snapshot_id
+    ][0]
+    total = len(snap["files"])
+    selected = len(
+        [f for f in snap["files"] if _stats_match(f, stats_filter)]
+    )
+    return selected, total
 
 
 def pruned_file_count(

@@ -20,6 +20,15 @@ import pandas as pd
 import pytest
 
 
+def _naive(ts_series: pd.Series) -> pd.Series:
+    """tz-aware (UTC) or naive timestamps -> naive us — compares the
+    instant regardless of the parquet timestamp representation."""
+    s = pd.to_datetime(ts_series)
+    if getattr(s.dt, "tz", None) is not None:
+        s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+    return s.astype("datetime64[us]")
+
+
 def _pages_pdf(rows):
     return pd.DataFrame(
         {
@@ -62,7 +71,10 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
 
     got = pd.read_parquet(out_dir).sort_values("url").reset_index(drop=True)
     assert got["url"].tolist() == ["A", "B", "C"]
-    assert str(got.loc[0, "warc_ts"]) == "2024-01-01 09:00:00"
+    # TIMESTAMP_MICROS parquet (session default since the data-skipping
+    # feature; INT96 carries no stats) reads back tz-aware — compare
+    # the INSTANT, not the string representation
+    assert _naive(got["warc_ts"]).iloc[0] == pd.Timestamp("2024-01-01 09:00:00")
 
     # restart with new files: A re-fetched (must be suppressed by
     # checkpointed state), D new
@@ -86,8 +98,8 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
         .sort_values("url")
         .reset_index(drop=True)
     )
-    got["warc_ts"] = got["warc_ts"].astype("datetime64[us]")
-    batch["warc_ts"] = batch["warc_ts"].astype("datetime64[us]")
+    got["warc_ts"] = _naive(got["warc_ts"])
+    batch["warc_ts"] = _naive(batch["warc_ts"])
     pd.testing.assert_frame_equal(
         got[["url", "warc_ts"]], batch[["url", "warc_ts"]]
     )

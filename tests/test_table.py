@@ -240,3 +240,63 @@ def test_expire_commits_manifest_before_deleting(tmp_path, spark, pages_pdf, mon
     # a second expiry is a no-op on snapshots (files already orphaned)
     res = T.expire_snapshots(path, keep_last=1)
     assert res["removed_snapshots"] == 0
+
+
+def test_stats_data_skipping(spark, tmp_path):
+    """Per-file column min/max stats (from parquet footers) prune
+    files whose value range is disjoint from the requested range; the
+    result still equals a full scan + filter exactly, and timestamps
+    work through the ISO-string canonical form."""
+    import datetime
+
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        read_table,
+        stats_pruned_count,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(1000),
+            "val": [i * 2 for i in range(1000)],
+            "ts": pd.Series(
+                [base + datetime.timedelta(hours=i) for i in range(1000)]
+            ).astype("datetime64[us]"),
+            "lang": ["en"] * 1000,
+        }
+    )
+    path = str(tmp_path / "tbl")
+    # range-partition on doc_id -> files hold disjoint id ranges, the
+    # layout where data skipping bites (sorted/clustered ingest)
+    df = spark.createDataFrame(pdf).repartitionByRange(8, "doc_id")
+    write_table(df, path)
+
+    sel, total = stats_pruned_count(path, {"doc_id": (100, 180)})
+    assert total == 8 and 1 <= sel <= 2
+
+    got = (
+        read_table(spark, path, stats_filter={"doc_id": (100, 180)})
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = pdf[(pdf.doc_id >= 100) & (pdf.doc_id <= 180)].reset_index(
+        drop=True
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["val"].tolist() == want["val"].tolist()
+
+    # open-ended bound + timestamp column
+    lo_ts = base + datetime.timedelta(hours=900)
+    sel_ts, _ = stats_pruned_count(path, {"ts": (lo_ts, None)})
+    assert sel_ts <= 2
+    got_ts = read_table(
+        spark, path, stats_filter={"ts": (lo_ts, None)}
+    ).toPandas()
+    assert len(got_ts) == 100
+    # a column with overlapping ranges everywhere prunes nothing but
+    # still filters exactly
+    got_all = read_table(
+        spark, path, stats_filter={"lang": ("en", "en")}
+    ).toPandas()
+    assert len(got_all) == 1000
