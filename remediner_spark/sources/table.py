@@ -200,19 +200,43 @@ def write_table(
     if snapshots:
         prev_schema = snapshots[-1]["schema"]
         cur_schema = df.schema.jsonValue()
-        # compare names + types; nullability is not part of the table
-        # contract (path-recovered partition columns come back
-        # non-nullable, and Iceberg likewise treats nullability as
-        # evolvable rather than identity)
-        def _sig(schema):
-            return [(f["name"], f["type"]) for f in schema["fields"]]
+        # NAME-BASED compatibility (Iceberg semantics): every existing
+        # column must keep its type; NEW columns may be ADDED (schema
+        # evolution — old files simply lack them and read as null via
+        # mergeSchema); column ORDER is not identity. Nullability is
+        # not part of the contract either (path-recovered partition
+        # columns come back non-nullable, and Iceberg treats
+        # nullability as evolvable).
+        def _types(schema):
+            return {f["name"]: f["type"] for f in schema["fields"]}
 
-        if _sig(prev_schema) != _sig(cur_schema):
+        prev_t, cur_t = _types(prev_schema), _types(cur_schema)
+        missing = [c for c in prev_t if c not in cur_t]
+        changed = [
+            c for c in prev_t if c in cur_t and cur_t[c] != prev_t[c]
+        ]
+        if missing or changed:
             raise ValueError(
                 "schema mismatch vs table schema: "
-                f"{[f['name'] for f in prev_schema['fields']]} != "
-                f"{[f['name'] for f in cur_schema['fields']]}"
+                f"missing columns {missing}, type changes {changed} "
+                f"(adding new columns is allowed; dropping or retyping "
+                f"is not)"
             )
+        added = [c for c in cur_t if c not in prev_t]
+        if added:
+            # evolve: the snapshot records the WIDENED schema (old
+            # columns keep their positions, new ones append in the
+            # incoming frame's order); earlier snapshots keep theirs,
+            # so time travel sees the schema of its day
+            prev_names = [f["name"] for f in prev_schema["fields"]]
+            by_name = {f["name"]: f for f in cur_schema["fields"]}
+            cur_schema = {
+                **cur_schema,
+                "fields": [by_name[n] for n in prev_names]
+                + [by_name[c] for c in added],
+            }
+        else:
+            cur_schema = prev_schema
         prev_partition = snapshots[-1]["partition_by"]
         if prev_partition != partition_by:
             raise ValueError(
@@ -257,7 +281,7 @@ def write_table(
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "mode": mode,
         "commit": commit_id,
-        "schema": df.schema.jsonValue(),
+        "schema": cur_schema if snapshots else df.schema.jsonValue(),
         "partition_by": partition_by,
         "files": files,
         "total_rows": sum(f["rows"] for f in files),
@@ -306,14 +330,23 @@ def read_table(
         files = [f for f in files if _partition_match(f, partition_filter)]
     if stats_filter:
         files = [f for f in files if _stats_match(f, stats_filter)]
-    if not files:
-        from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructType
 
-        schema = StructType.fromJson(snap["schema"])
-        df = spark.createDataFrame([], schema)
+    full_schema = StructType.fromJson(snap["schema"])
+    if not files:
+        df = spark.createDataFrame([], full_schema)
     else:
-        df = spark.read.parquet(*[f["path"] for f in files])
+        # read with the SNAPSHOT's schema, not the files' (Iceberg
+        # semantics): after add-column evolution old files lack the new
+        # columns and Spark fills them with null; partition columns are
+        # excluded here (pruned from data files) and re-attached from
+        # the manifest below, then order restored to the table schema
+        data_schema = StructType(
+            [f for f in full_schema.fields if f.name not in snap["partition_by"]]
+        )
+        df = spark.read.schema(data_schema).parquet(*[f["path"] for f in files])
         df = _attach_partition_cols(spark, df, files, snap["partition_by"])
+        df = df.select([f.name for f in full_schema.fields])
     if stats_filter:
         from pyspark.sql import functions as F
 

@@ -300,3 +300,49 @@ def test_stats_data_skipping(spark, tmp_path):
         spark, path, stats_filter={"lang": ("en", "en")}
     ).toPandas()
     assert len(got_all) == 1000
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg-style add-column evolution: an append with NEW columns
+    widens the table schema; old files read as null for them; column
+    ORDER is not identity; dropping or retyping still rejects; time
+    travel sees each snapshot's own schema."""
+    import pandas as pd
+
+    path = str(tmp_path / "tbl")
+    v1 = pd.DataFrame(
+        {"url": ["a", "b"], "lang": ["en", "de"], "text": ["x", "y"]}
+    )
+    write_table(spark.createDataFrame(v1), path, partition_by=["lang"])
+
+    # append with a new column AND shuffled column order
+    v2 = pd.DataFrame(
+        {"score": [0.5, 0.9], "text": ["z", "w"],
+         "url": ["c", "d"], "lang": ["en", "en"]}
+    )
+    write_table(
+        spark.createDataFrame(v2)[["score", "text", "url", "lang"]],
+        path, mode="append", partition_by=["lang"],
+    )
+    got = read_table(spark, path).toPandas().sort_values("url")
+    assert list(got.columns) == ["url", "lang", "text", "score"]
+    assert got[got.url.isin(["a", "b"])]["score"].isna().all()
+    assert got[got.url == "c"]["score"].iloc[0] == 0.5
+    # time travel: snapshot 1 keeps the narrow schema
+    old = read_table(spark, path, snapshot_id=1)
+    assert "score" not in old.columns
+
+    # dropping a column still rejects
+    with pytest.raises(ValueError, match="missing columns"):
+        write_table(
+            spark.createDataFrame(v1.drop(columns=["text"])), path,
+            mode="append", partition_by=["lang"],
+        )
+    # retyping still rejects
+    bad = v1.copy()
+    bad["text"] = [1, 2]
+    with pytest.raises(ValueError, match="type changes"):
+        write_table(
+            spark.createDataFrame(bad), path, mode="append",
+            partition_by=["lang"],
+        )
