@@ -232,6 +232,43 @@ SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
 FROM events GROUP BY event_type"""
 
 
+HLL_RSD = 0.05  # approx_count_distinct relative standard deviation
+
+
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct-count SCALE lever: approx_count_distinct
+    (HyperLogLog++ — constant-size mergeable registers, no per-key
+    shuffle state like the exact countDistinct expansion). HLL merging
+    is register-wise max, so the estimate is DETERMINISTIC for fixed
+    data regardless of partitioning — but DuckDB's HLL is a different
+    sketch, so cross-engine the checkable claim is the ERROR BOUND:
+    emit per group the exact count plus a certificate that
+    |approx - exact| <= 4*rsd*exact (4 sigma; rsd=0.05). The oracle
+    recomputes the exact count and asserts the certificate universe.
+    Completes the sketch family beside MinHash/SimHash/GK/Bloom."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("_n_approx"),
+    )
+    bound = 4 * HLL_RSD
+    return agg.select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.abs(F.col("_n_approx") - F.col("n_exact"))
+            <= F.lit(bound) * F.col("n_exact")
+        ).alias("within_bound"),
+    )
+
+
+SQL_AGG_APPROX_DISTINCT = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_bound
+FROM events GROUP BY event_type"""
+
+
 def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k (the similarity ranker's relational core): top-3
     orders by totalprice per priority."""
@@ -540,6 +577,7 @@ QUERIES = {
     "join_broadcast_dims": q_join_broadcast_dims,
     "join_semi_anti": q_join_semi_anti,
     "agg_two_phase": q_agg_two_phase,
+    "agg_approx_distinct": q_agg_approx_distinct,
     "window_topk": q_window_topk,
     "window_tumbling_agg": q_window_tumbling_agg,
     "sessionize": q_sessionize,
@@ -560,6 +598,7 @@ ORACLES = {
     "join_broadcast_dims": SQL_JOIN_BROADCAST,
     "join_semi_anti": SQL_JOIN_SEMI_ANTI,
     "agg_two_phase": SQL_AGG_TWO_PHASE,
+    "agg_approx_distinct": SQL_AGG_APPROX_DISTINCT,
     "window_topk": SQL_WINDOW_TOPK,
     "window_tumbling_agg": SQL_WINDOW_TUMBLING,
     "sessionize": SQL_SESSIONIZE,
