@@ -97,3 +97,45 @@ def test_random_graph_implementations_agree(spark, impl):
 
     got = _components(spark, pairs, impl)
     assert got == want
+
+
+def test_star_vs_unionfind_randomized(spark):
+    """Property coverage beyond the single seeded graph: many random
+    graph shapes (sparse, dense, chain-heavy) against the union-find
+    referee, one Spark call per batch of graphs via disjoint vertex
+    offsets (hypothesis + Spark per-example would be minutes)."""
+    import random
+
+    cases = []
+    rng = random.Random(1234)
+    offset = 0
+    for shape in range(12):
+        n = rng.randrange(2, 40)
+        m = rng.randrange(1, 60)
+        if shape % 3 == 0:  # chain-heavy: long diameter
+            pairs = [(offset + i, offset + i + 1) for i in range(n - 1)]
+        else:
+            pairs = [
+                (offset + rng.randrange(n), offset + rng.randrange(n))
+                for _ in range(m)
+            ]
+        cases.extend(pairs)
+        offset += n + 5  # gap keeps graphs disjoint
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in cases:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+
+    got = _components(spark, cases, connected_components_star, max_iter=60)
+    assert got == want
