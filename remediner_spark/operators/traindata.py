@@ -262,11 +262,17 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     join of the exploded (gram, position) rows against the set-bit
     table with a count==K gate. FP rate (1-e^(-Kn/M))^K; flagged is a
     SUPERSET of the exact decontaminate verdict (no false negatives)."""
+    from pyspark.storagelevel import StorageLevel
+
     from .dedup import _shingles_expr
 
+    # three consumers (eval positions, training explode, final doc
+    # list) would each recompute the shingle arrays — the ngram-dedup
+    # persist pattern applies (bounded, spillable, released by
+    # session.cache_scope)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", _shingles_expr(F.col("text")).alias("sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     ev_pos = (
         docs.filter(is_eval)
