@@ -441,7 +441,23 @@ def compact_table(
     if not crowded:
         return snap
     crowded_files = [f for files in crowded.values() for f in files]
-    df = spark.read.parquet(*[f["path"] for f in crowded_files])
+    # read with the TABLE schema, not file inference: after add-column
+    # evolution some crowded files predate the new columns, and an
+    # inferred (first-file) schema would either drop the column or make
+    # the select below fail — snapshot-schema read null-fills instead
+    # (same semantics as read_table)
+    from pyspark.sql.types import StructType
+
+    data_schema = StructType(
+        [
+            f
+            for f in StructType.fromJson(snap["schema"]).fields
+            if f.name not in partition_by
+        ]
+    )
+    df = spark.read.schema(data_schema).parquet(
+        *[f["path"] for f in crowded_files]
+    )
     # partition columns are pruned out of the data files; recover them
     # from the manifest (shared helper — same mechanism as read_table)
     # and cast back to the table schema's types (the write-time schema

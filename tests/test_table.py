@@ -346,3 +346,39 @@ def test_schema_evolution_add_column(spark, tmp_path):
             spark.createDataFrame(bad), path, mode="append",
             partition_by=["lang"],
         )
+
+
+def test_compaction_after_schema_evolution(spark, tmp_path):
+    """Compacting partitions whose files span schema versions must
+    null-fill evolved columns for old rows and keep new rows' values —
+    regression for the inferred-schema read that would have dropped or
+    crashed on the added column."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import compact_table
+
+    path = str(tmp_path / "tbl")
+    v1 = pd.DataFrame(
+        {"url": [f"a{i}" for i in range(6)], "lang": ["en"] * 6,
+         "text": ["x"] * 6}
+    )
+    write_table(
+        spark.createDataFrame(v1).repartition(1), path,
+        mode="append", partition_by=["lang"],
+    )
+    v2 = v1.assign(url=[f"b{i}" for i in range(6)], score=1.5)
+    write_table(
+        spark.createDataFrame(v2).repartition(1), path,
+        mode="append", partition_by=["lang"],
+    )
+    v3 = v1.assign(url=[f"c{i}" for i in range(6)], score=2.5)
+    write_table(
+        spark.createDataFrame(v3).repartition(1), path,
+        mode="append", partition_by=["lang"],
+    )
+    compact_table(spark, path)
+    got = read_table(spark, path).toPandas()
+    assert len(got) == 18
+    assert got[got.url.str.startswith("a")]["score"].isna().all()
+    assert (got[got.url.str.startswith("b")]["score"] == 1.5).all()
+    assert (got[got.url.str.startswith("c")]["score"] == 2.5).all()
