@@ -188,13 +188,21 @@ def write_table(
     mode: str = "append",
     partition_by: list[str] | None = None,
     properties: dict | None = None,
+    sort_by: list[str] | None = None,
 ) -> dict:
     """Write a snapshot; returns the snapshot record.
 
     ``properties`` rides inside the snapshot record (committed in the
     SAME atomic manifest rename as the data) — the Iceberg
     snapshot-properties mechanism writers use for exactly-once
-    bookkeeping (e.g. streaming (scope, batch_id) markers)."""
+    bookkeeping (e.g. streaming (scope, batch_id) markers).
+
+    ``sort_by`` is the Iceberg SORT ORDER: rows are range-partitioned
+    and sorted on these columns before writing, so each data file
+    covers a TIGHT value range and the footer min/max stats
+    (data-skipping reads, ``read_table(stats_filter=...)``) prune
+    files instead of merely describing them. Without clustering, every
+    file's range spans the whole domain and stats skip nothing."""
     partition_by = partition_by or []
     snapshots = _load_snapshots(path)
     if snapshots:
@@ -244,6 +252,11 @@ def write_table(
             )
     commit_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", f"commit={commit_id}")
+    if sort_by:
+        n_out = df.rdd.getNumPartitions()
+        df = df.repartitionByRange(max(n_out, 1), *sort_by).sortWithinPartitions(
+            *sort_by
+        )
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -283,6 +296,7 @@ def write_table(
         "commit": commit_id,
         "schema": cur_schema if snapshots else df.schema.jsonValue(),
         "partition_by": partition_by,
+        "sort_by": sort_by or [],
         "files": files,
         "total_rows": sum(f["rows"] for f in files),
         "properties": properties or {},

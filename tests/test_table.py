@@ -382,3 +382,47 @@ def test_compaction_after_schema_evolution(spark, tmp_path):
     assert got[got.url.str.startswith("a")]["score"].isna().all()
     assert (got[got.url.str.startswith("b")]["score"] == 1.5).all()
     assert (got[got.url.str.startswith("c")]["score"] == 2.5).all()
+
+
+def test_sort_order_enables_data_skipping(spark, tmp_path):
+    """The Iceberg sort-order write (sort_by) clusters values so file
+    ranges are disjoint and stats pruning bites; the same data written
+    unclustered prunes nothing (every file spans the domain). Results
+    are identical either way."""
+    import random
+
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        read_table,
+        stats_pruned_count,
+    )
+
+    rng = random.Random(3)
+    ids = list(range(2000))
+    rng.shuffle(ids)
+    pdf = pd.DataFrame({"doc_id": ids, "val": [i % 7 for i in ids]})
+
+    unsorted_path = str(tmp_path / "unsorted")
+    write_table(
+        spark.createDataFrame(pdf).repartition(8), unsorted_path
+    )
+    sorted_path = str(tmp_path / "sorted")
+    write_table(
+        spark.createDataFrame(pdf).repartition(8), sorted_path,
+        sort_by=["doc_id"],
+    )
+    flt = {"doc_id": (500, 600)}
+    sel_u, tot_u = stats_pruned_count(unsorted_path, flt)
+    sel_s, tot_s = stats_pruned_count(sorted_path, flt)
+    assert sel_u == tot_u == 8  # shuffled: every file spans the domain
+    assert tot_s >= 4 and sel_s <= 2  # clustered: most files skipped
+
+    a = read_table(spark, unsorted_path, stats_filter=flt).toPandas()
+    b = read_table(spark, sorted_path, stats_filter=flt).toPandas()
+    key = ["doc_id"]
+    assert (
+        a.sort_values(key).reset_index(drop=True)["val"].tolist()
+        == b.sort_values(key).reset_index(drop=True)["val"].tolist()
+    )
+    assert len(a) == 101
