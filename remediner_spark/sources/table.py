@@ -487,6 +487,135 @@ def compact_table(
     )
 
 
+def upsert_rows(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: list[str],
+) -> dict:
+    """Row-level MERGE (Iceberg v2 copy-on-write, file granularity):
+    delete current rows whose ``key`` matches an update, insert every
+    update row. Only files whose recorded column stats OVERLAP the
+    updates' key bounds are rewritten — untouched files are carried
+    into the new snapshot by reference, so a narrow-key upsert into a
+    ``sort_by``-clustered table rewrites a handful of files, not the
+    table. Earlier snapshots still time-travel to the pre-merge files.
+
+    ``updates`` must carry the full table schema (use write_table for
+    schema evolution first). Returns the new snapshot record, which
+    reports ``rewritten_files``/``carried_files``."""
+    snapshots = _load_snapshots(path)
+    if not snapshots:
+        raise FileNotFoundError(f"no table at {path}")
+    snap = snapshots[-1]
+    table_cols = [f["name"] for f in snap["schema"]["fields"]]
+    if sorted(updates.columns) != sorted(table_cols):
+        raise ValueError(
+            f"updates schema {sorted(updates.columns)} != table "
+            f"{sorted(table_cols)}"
+        )
+    missing_key = [k for k in key if k not in table_cols]
+    if missing_key:
+        raise ValueError(f"key columns not in table: {missing_key}")
+    partition_by = snap["partition_by"]
+
+    # File targeting. For a single-column key with a bounded number of
+    # distinct update keys, test PER FILE whether any update key falls
+    # inside its recorded [min, max] (sorted keys + binary search —
+    # one outlier key then only touches its own file, not a global
+    # bounding box spanning the table). Multi-column keys or huge
+    # update sets fall back to the per-column bounding box, which is a
+    # superset and therefore always safe; files without stats are
+    # always touched (they might hold matching keys).
+    from pyspark.sql import functions as F
+
+    _KEYSET_CAP = 100_000
+    keyset = None
+    if len(key) == 1:
+        kcol = key[0]
+        distinct = (
+            updates.select(kcol).dropDuplicates().limit(_KEYSET_CAP + 1)
+        ).collect()
+        if len(distinct) <= _KEYSET_CAP:
+            vals = [_stats_value(r[kcol]) for r in distinct]
+            if all(v is not None for v in vals):
+                keyset = sorted(vals)
+
+    if keyset is not None:
+        import bisect
+
+        def is_touched(f: dict) -> bool:
+            st = (f.get("stats") or {}).get(key[0])
+            if not st:
+                return True
+            lo, hi = st
+            i = bisect.bisect_left(keyset, lo)
+            return i < len(keyset) and keyset[i] <= hi
+
+    else:
+        bounds_row = updates.agg(
+            *[F.min(k).alias(f"_lo_{k}") for k in key],
+            *[F.max(k).alias(f"_hi_{k}") for k in key],
+        ).collect()[0]
+        key_filter = {
+            k: (bounds_row[f"_lo_{k}"], bounds_row[f"_hi_{k}"]) for k in key
+        }
+
+        def is_touched(f: dict) -> bool:
+            return _stats_match(f, key_filter)
+
+    touched = [f for f in snap["files"] if is_touched(f)]
+    carried = [f for f in snap["files"] if not is_touched(f)]
+
+    from pyspark.sql.types import StructType
+
+    full_schema = StructType.fromJson(snap["schema"])
+    if touched:
+        data_schema = StructType(
+            [f for f in full_schema.fields if f.name not in partition_by]
+        )
+        cur = spark.read.schema(data_schema).parquet(
+            *[f["path"] for f in touched]
+        )
+        cur = _attach_partition_cols(spark, cur, touched, partition_by)
+        types = {f["name"]: f["type"] for f in snap["schema"]["fields"]}
+        for col in partition_by:
+            cur = cur.withColumn(col, F.col(col).cast(types[col]))
+        cur = cur.select(table_cols)
+        remaining = cur.join(
+            updates.select(*key).dropDuplicates(), key, "left_anti"
+        )
+        out = remaining.unionByName(updates.select(*table_cols))
+    else:
+        out = updates.select(*table_cols)
+
+    commit_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", f"commit={commit_id}")
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
+    new_files = _collect_file_entries(data_dir, partition_by)
+    files = carried + new_files
+    snapshot = {
+        "snapshot_id": snap["snapshot_id"] + 1,
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "mode": "upsert",
+        "commit": commit_id,
+        "schema": snap["schema"],
+        "partition_by": partition_by,
+        "sort_by": snap.get("sort_by", []),
+        "files": files,
+        "total_rows": sum(f["rows"] for f in files),
+        "properties": {
+            "rewritten_files": len(touched),
+            "carried_files": len(carried),
+        },
+    }
+    _save_snapshots(path, snapshots + [snapshot])
+    return snapshot
+
+
 def expire_snapshots(path: str, keep_last: int = 2) -> dict:
     """Iceberg `expire_snapshots`: drop all but the newest
     ``keep_last`` snapshots and DELETE data files no surviving snapshot

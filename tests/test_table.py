@@ -426,3 +426,76 @@ def test_sort_order_enables_data_skipping(spark, tmp_path):
         == b.sort_values(key).reset_index(drop=True)["val"].tolist()
     )
     assert len(a) == 101
+
+
+def test_upsert_rows_copy_on_write(spark, tmp_path):
+    """Row-level MERGE: matching keys replaced, new keys inserted,
+    files outside the updates' key bounds carried by reference (not
+    rewritten), pre-merge snapshot still time-travels."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        _load_snapshots,
+        read_table,
+        upsert_rows,
+    )
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame(
+        {"doc_id": range(1000), "val": [i * 10 for i in range(1000)]}
+    )
+    write_table(
+        spark.createDataFrame(pdf).repartition(8), path,
+        sort_by=["doc_id"],
+    )
+    pre_files = {f["path"] for f in _load_snapshots(path)[-1]["files"]}
+
+    ups = pd.DataFrame(
+        {"doc_id": [100, 101, 5000], "val": [-1, -2, -3]}
+    )
+    snap = upsert_rows(spark, path, spark.createDataFrame(ups), ["doc_id"])
+    # narrow key range + clustered files: most files carried untouched
+    assert snap["properties"]["carried_files"] >= 5
+    assert snap["properties"]["rewritten_files"] <= 3
+    post_files = {f["path"] for f in _load_snapshots(path)[-1]["files"]}
+    assert len(pre_files & post_files) == snap["properties"]["carried_files"]
+
+    got = read_table(spark, path).toPandas().set_index("doc_id")
+    assert len(got) == 1001  # 1000 originals - 2 replaced + 2 + 1 new
+    assert got.loc[100, "val"] == -1 and got.loc[101, "val"] == -2
+    assert got.loc[5000, "val"] == -3
+    assert got.loc[99, "val"] == 990  # untouched row intact
+    # pre-merge snapshot unchanged
+    old = read_table(spark, path, snapshot_id=1).toPandas().set_index("doc_id")
+    assert len(old) == 1000 and old.loc[100, "val"] == 1000
+
+    # schema mismatch is loud
+    with pytest.raises(ValueError, match="updates schema"):
+        upsert_rows(
+            spark, path,
+            spark.createDataFrame(ups.drop(columns=["val"])), ["doc_id"],
+        )
+
+
+def test_upsert_rows_partitioned(spark, tmp_path):
+    """Upsert on a partitioned table keeps partition recovery and
+    per-partition files correct."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import read_table, upsert_rows
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame(
+        {"doc_id": range(100),
+         "lang": ["en" if i % 2 else "de" for i in range(100)],
+         "val": list(range(100))}
+    )
+    write_table(spark.createDataFrame(pdf), path, partition_by=["lang"])
+    ups = pd.DataFrame(
+        {"doc_id": [0, 1], "lang": ["de", "en"], "val": [-5, -6]}
+    )
+    upsert_rows(spark, path, spark.createDataFrame(ups), ["doc_id"])
+    got = read_table(spark, path).toPandas().set_index("doc_id")
+    assert len(got) == 100
+    assert got.loc[0, "val"] == -5 and got.loc[1, "val"] == -6
+    assert set(got["lang"]) == {"en", "de"}
