@@ -517,6 +517,23 @@ def upsert_rows(
     missing_key = [k for k in key if k not in table_cols]
     if missing_key:
         raise ValueError(f"key columns not in table: {missing_key}")
+    # Iceberg MERGE rejects multiple source matches per target row;
+    # two updates for one key would both insert, silently growing the
+    # table — fail loudly instead
+    from pyspark.sql import functions as F
+
+    dup = (
+        updates.groupBy(*key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"updates contain duplicate key {[dup[0][k] for k in key]} — "
+            "MERGE requires one update row per key"
+        )
     partition_by = snap["partition_by"]
 
     # File targeting. For a single-column key with a bounded number of
@@ -591,6 +608,15 @@ def upsert_rows(
 
     commit_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", f"commit={commit_id}")
+    sort_by = snap.get("sort_by") or []
+    if sort_by:
+        # preserve the table's clustering so stats stay tight across
+        # repeated upserts (otherwise skipping degrades until the next
+        # compaction)
+        n_out = out.rdd.getNumPartitions()
+        out = out.repartitionByRange(
+            max(n_out, 1), *sort_by
+        ).sortWithinPartitions(*sort_by)
     writer = out.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -604,7 +630,7 @@ def upsert_rows(
         "commit": commit_id,
         "schema": snap["schema"],
         "partition_by": partition_by,
-        "sort_by": snap.get("sort_by", []),
+        "sort_by": sort_by,
         "files": files,
         "total_rows": sum(f["rows"] for f in files),
         "properties": {

@@ -499,3 +499,35 @@ def test_upsert_rows_partitioned(spark, tmp_path):
     assert len(got) == 100
     assert got.loc[0, "val"] == -5 and got.loc[1, "val"] == -6
     assert set(got["lang"]) == {"en", "de"}
+
+
+def test_upsert_rejects_duplicate_keys_and_keeps_clustering(spark, tmp_path):
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        _load_snapshots,
+        upsert_rows,
+    )
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame({"doc_id": range(400), "val": range(400)})
+    write_table(
+        spark.createDataFrame(pdf).repartition(4), path,
+        sort_by=["doc_id"],
+    )
+    dup = pd.DataFrame({"doc_id": [7, 7], "val": [1, 2]})
+    with pytest.raises(ValueError, match="duplicate key"):
+        upsert_rows(spark, path, spark.createDataFrame(dup), ["doc_id"])
+
+    # two sequential narrow upserts: the second still carries files —
+    # clustering (and therefore stats tightness) survived the first
+    # rewrite because upsert re-applies the table's sort order
+    one = pd.DataFrame({"doc_id": [10], "val": [-1]})
+    upsert_rows(spark, path, spark.createDataFrame(one), ["doc_id"])
+    snap2 = upsert_rows(
+        spark, path,
+        spark.createDataFrame(pd.DataFrame({"doc_id": [11], "val": [-2]})),
+        ["doc_id"],
+    )
+    assert snap2["properties"]["carried_files"] >= 2
+    assert _load_snapshots(path)[-1]["sort_by"] == ["doc_id"]
