@@ -642,6 +642,113 @@ def upsert_rows(
     return snapshot
 
 
+def delete_range(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+) -> dict:
+    """Row-level range DELETE (the retention/GDPR shape: ``DELETE
+    WHERE col BETWEEN lo AND hi``, either bound open). Three file
+    classes from the manifest stats, cheapest first:
+
+    * fully inside the range  -> DROPPED metadata-only (no read, no
+      write — the Iceberg trick that makes time-based retention on a
+      date-clustered table free),
+    * disjoint                -> carried by reference,
+    * overlapping or stats-less -> rewritten with the complement
+      filter (copy-on-write).
+
+    Earlier snapshots still time-travel to the deleted rows. Returns
+    the new snapshot; properties report dropped/rewritten/carried
+    file counts."""
+    snapshots = _load_snapshots(path)
+    if not snapshots:
+        raise FileNotFoundError(f"no table at {path}")
+    snap = snapshots[-1]
+    lo_c, hi_c = _stats_value(lo), _stats_value(hi)
+    if lo_c is None and lo is not None:
+        raise ValueError(f"unsupported bound type for {col}: {lo!r}")
+    if hi_c is None and hi is not None:
+        raise ValueError(f"unsupported bound type for {col}: {hi!r}")
+
+    dropped, carried, rewrite = [], [], []
+    for f in snap["files"]:
+        st = (f.get("stats") or {}).get(col)
+        if not st:
+            rewrite.append(f)
+            continue
+        fmin, fmax = st
+        inside_lo = lo is None or fmin >= lo_c
+        inside_hi = hi is None or fmax <= hi_c
+        disjoint = (lo is not None and fmax < lo_c) or (
+            hi is not None and fmin > hi_c
+        )
+        if inside_lo and inside_hi:
+            dropped.append(f)
+        elif disjoint:
+            carried.append(f)
+        else:
+            rewrite.append(f)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    partition_by = snap["partition_by"]
+    new_files: list[dict] = []
+    commit_id = uuid.uuid4().hex[:12]
+    if rewrite:
+        full_schema = StructType.fromJson(snap["schema"])
+        data_schema = StructType(
+            [f for f in full_schema.fields if f.name not in partition_by]
+        )
+        cur = spark.read.schema(data_schema).parquet(
+            *[f["path"] for f in rewrite]
+        )
+        cur = _attach_partition_cols(spark, cur, rewrite, partition_by)
+        types = {f["name"]: f["type"] for f in snap["schema"]["fields"]}
+        for pcol in partition_by:
+            cur = cur.withColumn(pcol, F.col(pcol).cast(types[pcol]))
+        cur = cur.select([f.name for f in full_schema.fields])
+        in_range = F.lit(True)
+        if lo is not None:
+            in_range = in_range & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            in_range = in_range & (F.col(col) <= F.lit(hi))
+        out = cur.filter(~in_range)
+        sort_by = snap.get("sort_by") or []
+        if sort_by:
+            out = out.repartitionByRange(
+                max(out.rdd.getNumPartitions(), 1), *sort_by
+            ).sortWithinPartitions(*sort_by)
+        data_dir = os.path.join(path, "data", f"commit={commit_id}")
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        new_files = _collect_file_entries(data_dir, partition_by)
+
+    snapshot = {
+        "snapshot_id": snap["snapshot_id"] + 1,
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "mode": "delete",
+        "commit": commit_id,
+        "schema": snap["schema"],
+        "partition_by": partition_by,
+        "sort_by": snap.get("sort_by") or [],
+        "files": carried + new_files,
+        "total_rows": sum(f["rows"] for f in carried + new_files),
+        "properties": {
+            "dropped_files": len(dropped),
+            "rewritten_files": len(rewrite),
+            "carried_files": len(carried),
+        },
+    }
+    _save_snapshots(path, snapshots + [snapshot])
+    return snapshot
+
+
 def expire_snapshots(path: str, keep_last: int = 2) -> dict:
     """Iceberg `expire_snapshots`: drop all but the newest
     ``keep_last`` snapshots and DELETE data files no surviving snapshot

@@ -531,3 +531,45 @@ def test_upsert_rejects_duplicate_keys_and_keeps_clustering(spark, tmp_path):
     )
     assert snap2["properties"]["carried_files"] >= 2
     assert _load_snapshots(path)[-1]["sort_by"] == ["doc_id"]
+
+
+def test_delete_range_metadata_only_drop(spark, tmp_path):
+    """Range DELETE on a clustered table: fully-covered files drop
+    WITHOUT being read or rewritten, disjoint files carry by
+    reference, boundary files rewrite with the complement filter;
+    time travel still reaches the deleted rows."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        _load_snapshots,
+        delete_range,
+        read_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame({"doc_id": range(1000), "val": range(1000)})
+    write_table(
+        spark.createDataFrame(pdf).repartition(8), path, sort_by=["doc_id"]
+    )
+    pre_files = {f["path"] for f in _load_snapshots(path)[-1]["files"]}
+
+    snap = delete_range(spark, path, "doc_id", 200, 700)
+    props = snap["properties"]
+    assert props["dropped_files"] >= 2  # whole files inside [200, 700]
+    assert props["carried_files"] >= 2  # files fully below/above
+    assert props["rewritten_files"] <= 4
+    # carried files are literally the same paths
+    post_files = {f["path"] for f in _load_snapshots(path)[-1]["files"]}
+    assert len(pre_files & post_files) == props["carried_files"]
+
+    got = read_table(spark, path).toPandas()
+    assert len(got) == 1000 - 501
+    assert got["doc_id"].between(200, 700).sum() == 0
+    # time travel pre-delete
+    assert read_table(spark, path, snapshot_id=1).count() == 1000
+
+    # open-ended retention cut: everything >= 900 goes
+    delete_range(spark, path, "doc_id", 900, None)
+    got2 = read_table(spark, path).toPandas()
+    assert got2["doc_id"].max() < 900
+    assert len(got2) == 1000 - 501 - 100
