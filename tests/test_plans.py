@@ -120,3 +120,20 @@ def test_graph_edges_single_extraction_pass(spark, corpus_dir):
 
     ids = set(re.findall(r"^\((\d+)\) MapInPandas", plan, re.MULTILINE))
     assert len(ids) == 1, plan[:2000]
+
+
+def test_cache_scope_releases_everything(spark):
+    """session.cache_scope drops SQL caches and raw RDD persists on
+    exit — the unpersist discipline bench.py applies between queries."""
+    from remediner_spark.session import cache_scope, release_caches
+
+    release_caches(spark)  # clean slate
+    with cache_scope(spark):
+        df = spark.range(100).cache()
+        df.count()
+        rdd = spark.sparkContext.parallelize(range(10)).persist()
+        rdd.count()
+        assert len(list(
+            spark.sparkContext._jsc.getPersistentRDDs().keys()
+        )) >= 1
+    assert list(spark.sparkContext._jsc.getPersistentRDDs().keys()) == []
