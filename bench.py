@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "event_percentiles_approx",
     "decontaminate_bloom",
     "dedup_span_coverage",
+    "agg_approx_distinct",
 ]
 
 # base pages generated pandas-side, then tiled with distinct urls to

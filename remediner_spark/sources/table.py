@@ -92,6 +92,8 @@ def _stats_value(v):
         return v if len(v) <= _STATS_MAX_STR else None
     if isinstance(v, datetime.datetime):
         return v.isoformat()
+    if isinstance(v, datetime.date):  # after datetime (its subclass)
+        return v.isoformat()
     return None
 
 
