@@ -205,9 +205,22 @@ def read_torch_pt(path: str) -> dict[str, np.ndarray]:
             obj = _Unpickler(f).load()
     if not isinstance(obj, dict):
         raise ValueError(f"{path}: expected a state_dict, got {type(obj)}")
-    return {
-        k: np.asarray(v) for k, v in obj.items() if isinstance(v, np.ndarray)
+    bad = {
+        k: type(v).__name__
+        for k, v in obj.items()
+        if not isinstance(v, np.ndarray)
     }
+    if bad:
+        # silently dropping these would load a full training checkpoint
+        # ({'model': ..., 'optimizer': ...}) as a partial/empty tensor
+        # dict that only fails later with an opaque missing-key error
+        raise ValueError(
+            f"{path}: state_dict contains non-tensor values {bad} — if "
+            "this is a full training checkpoint, extract the model "
+            "weights sub-dict (e.g. ckpt['model'] or "
+            "ckpt['state_dict']) before loading"
+        )
+    return {k: np.asarray(v) for k, v in obj.items()}
 
 
 def write_torch_pt(sd: dict[str, np.ndarray], path: str) -> None:

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from urllib.parse import unquote
@@ -97,21 +98,30 @@ def _stats_value(v):
     return None
 
 
-def _file_column_stats(pf) -> dict:
-    """{col: [min, max]} from the parquet FOOTER (no data scan).
-    A column is recorded only when every row group has exact min/max
-    of a serializable type — absence means 'unprunable', never
-    'empty'. Nested columns are skipped."""
+def _file_column_stats(pf) -> tuple[dict, list[str]]:
+    """(``{col: [min, max]}``, ``nullfree`` column list) from the
+    parquet FOOTER (no data scan). A column's range is recorded only
+    when every row group has exact min/max of a serializable type —
+    absence means 'unprunable', never 'empty'. A column is ``nullfree``
+    only when every row group REPORTS null_count == 0 (parquet min/max
+    ignore NULLs, so range stats alone never prove a file has no NULL
+    rows — delete_range's metadata-only drop needs this flag). Nested
+    columns are skipped."""
     md = pf.metadata
     ncols = md.num_columns
     mins: list = [None] * ncols
     maxs: list = [None] * ncols
     ok = [True] * ncols
+    nullfree_ok = [True] * ncols
     for rg in range(md.num_row_groups):
         for ci in range(ncols):
+            st = md.row_group(rg).column(ci).statistics
+            if nullfree_ok[ci] and (
+                st is None or not st.has_null_count or st.null_count != 0
+            ):
+                nullfree_ok[ci] = False
             if not ok[ci]:
                 continue
-            st = md.row_group(rg).column(ci).statistics
             if st is None or not st.has_min_max:
                 ok[ci] = False
                 continue
@@ -122,28 +132,66 @@ def _file_column_stats(pf) -> dict:
             mins[ci] = lo if mins[ci] is None else min(mins[ci], lo)
             maxs[ci] = hi if maxs[ci] is None else max(maxs[ci], hi)
     out = {}
+    nullfree: list[str] = []
     for ci in range(ncols):
         name = md.schema.column(ci).path
-        if ok[ci] and md.num_row_groups > 0 and "." not in name:
+        if "." in name or md.num_row_groups == 0:
+            continue
+        if ok[ci]:
             out[name] = [mins[ci], maxs[ci]]
-    return out
+        if nullfree_ok[ci]:
+            nullfree.append(name)
+    return out, nullfree
+
+
+# bare ISO date vs ISO datetime string bounds: a date compares as its
+# midnight instant, exactly Spark's date->timestamp cast semantics
+_ISO_DATE_RE = re.compile(r"\d{4}-\d{2}-\d{2}")
+_ISO_DT_RE = re.compile(r"\d{4}-\d{2}-\d{2}T")
+
+
+def _cmp_stats(a, b):
+    """Compare two canonicalized stat bounds: -1/0/1, or None when the
+    representations are incomparable (mixed numeric/string, bools) —
+    callers must treat None conservatively (keep the file / rewrite).
+    Date-column stats are stored as 'YYYY-MM-DD' while datetime bounds
+    canonicalize to 'YYYY-MM-DDTHH:MM:SS'; comparing those raw would
+    falsely prune a file whose max date equals the bound's date, so a
+    bare date is promoted to its midnight instant when the other side
+    is a datetime (matching Spark's row-level date->timestamp cast)."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return None
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return (a > b) - (a < b)
+    if isinstance(a, str) and isinstance(b, str):
+        if _ISO_DATE_RE.fullmatch(a) and _ISO_DT_RE.match(b):
+            a = a + "T00:00:00"
+        elif _ISO_DATE_RE.fullmatch(b) and _ISO_DT_RE.match(a):
+            b = b + "T00:00:00"
+        return (a > b) - (a < b)
+    return None
 
 
 def _stats_match(file_entry: dict, stats_filter: dict) -> bool:
-    """True unless some column's recorded [min, max] is disjoint from
-    the requested [lo, hi] (None bound = unbounded). Files without
-    stats for a column are kept — skipping is an optimization, never
-    a correctness gate."""
+    """True unless some column's recorded [min, max] is PROVABLY
+    disjoint from the requested [lo, hi] (None bound = unbounded).
+    Files without stats for a column, or whose stored representation
+    is incomparable with the bound's, are kept — skipping is an
+    optimization, never a correctness gate."""
     stats = file_entry.get("stats") or {}
     for col, (lo, hi) in stats_filter.items():
         if col not in stats:
             continue
         fmin, fmax = stats[col]
         lo_c, hi_c = _stats_value(lo), _stats_value(hi)
-        if lo_c is not None and fmax < lo_c:
-            return False
-        if hi_c is not None and fmin > hi_c:
-            return False
+        if lo_c is not None:
+            c = _cmp_stats(fmax, lo_c)
+            if c is not None and c < 0:
+                return False
+        if hi_c is not None:
+            c = _cmp_stats(fmin, hi_c)
+            if c is not None and c > 0:
+                return False
     return True
 
 
@@ -170,6 +218,7 @@ def _collect_file_entries(data_dir: str, partition_by: list[str]) -> list[dict]:
                     # escape.
                     partition[unquote(k)] = unquote(v)
             pf = pq.ParquetFile(fpath)
+            stats, nullfree = _file_column_stats(pf)
             entries.append(
                 {
                     "path": fpath,
@@ -177,8 +226,11 @@ def _collect_file_entries(data_dir: str, partition_by: list[str]) -> list[dict]:
                     "rows": pf.metadata.num_rows,
                     # footer min/max per column: the Iceberg
                     # data-skipping stats (value-range pruning beyond
-                    # partition pruning), free at write time
-                    "stats": _file_column_stats(pf),
+                    # partition pruning), free at write time; nullfree
+                    # lists columns with PROVEN null_count == 0 in
+                    # every row group (metadata-only deletes gate on it)
+                    "stats": stats,
+                    "nullfree": nullfree,
                 }
             )
     return entries
@@ -652,15 +704,20 @@ def delete_range(
     hi=None,
 ) -> dict:
     """Row-level range DELETE (the retention/GDPR shape: ``DELETE
-    WHERE col BETWEEN lo AND hi``, either bound open). Three file
-    classes from the manifest stats, cheapest first:
+    WHERE col BETWEEN lo AND hi``, either bound open). SQL DELETE
+    semantics: a NULL ``col`` makes the predicate UNKNOWN, so NULL
+    rows are always KEPT. Three file classes from the manifest stats,
+    cheapest first:
 
-    * fully inside the range  -> DROPPED metadata-only (no read, no
-      write — the Iceberg trick that makes time-based retention on a
-      date-clustered table free),
-    * disjoint                -> carried by reference,
-    * overlapping or stats-less -> rewritten with the complement
-      filter (copy-on-write).
+    * fully inside the range AND proven null-free -> DROPPED
+      metadata-only (no read, no write — the Iceberg trick that makes
+      time-based retention on a date-clustered table free; parquet
+      min/max ignore NULLs, so the drop additionally requires the
+      file's ``nullfree`` flag — otherwise its NULL rows would vanish
+      with it),
+    * disjoint                -> carried by reference (NULL rows kept),
+    * overlapping, stats-less, or inside-but-maybe-null -> rewritten
+      with the null-safe complement filter (copy-on-write).
 
     Earlier snapshots still time-travel to the deleted rows. Returns
     the new snapshot; properties report dropped/rewritten/carried
@@ -682,12 +739,20 @@ def delete_range(
             rewrite.append(f)
             continue
         fmin, fmax = st
-        inside_lo = lo is None or fmin >= lo_c
-        inside_hi = hi is None or fmax <= hi_c
-        disjoint = (lo is not None and fmax < lo_c) or (
-            hi is not None and fmin > hi_c
+        # _cmp_stats returning None (incomparable representations,
+        # e.g. numeric bound vs string stats) degrades to rewrite —
+        # never a crash, never a wrong drop/carry
+        c_min_lo = _cmp_stats(fmin, lo_c) if lo is not None else None
+        c_max_lo = _cmp_stats(fmax, lo_c) if lo is not None else None
+        c_min_hi = _cmp_stats(fmin, hi_c) if hi is not None else None
+        c_max_hi = _cmp_stats(fmax, hi_c) if hi is not None else None
+        inside_lo = lo is None or (c_min_lo is not None and c_min_lo >= 0)
+        inside_hi = hi is None or (c_max_hi is not None and c_max_hi <= 0)
+        disjoint = (c_max_lo is not None and c_max_lo < 0) or (
+            c_min_hi is not None and c_min_hi > 0
         )
-        if inside_lo and inside_hi:
+        nullfree = col in (f.get("nullfree") or [])
+        if inside_lo and inside_hi and nullfree:
             dropped.append(f)
         elif disjoint:
             carried.append(f)
@@ -718,7 +783,9 @@ def delete_range(
             in_range = in_range & (F.col(col) >= F.lit(lo))
         if hi is not None:
             in_range = in_range & (F.col(col) <= F.lit(hi))
-        out = cur.filter(~in_range)
+        # null-safe complement: three-valued logic makes ~in_range NULL
+        # for NULL col (row silently dropped); DELETE WHERE keeps them
+        out = cur.filter(~in_range | F.col(col).isNull())
         sort_by = snap.get("sort_by") or []
         if sort_by:
             out = out.repartitionByRange(

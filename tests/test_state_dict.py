@@ -395,3 +395,22 @@ def test_missing_key_is_loud():
     del sd["lstm.weight_hh_l0_reverse"]
     with pytest.raises(KeyError, match="lstm.weight_hh_l0_reverse"):
         re_head_params_from_state_dict(sd)
+
+
+def test_torch_pt_nested_checkpoint_is_loud(tmp_path):
+    """A full training checkpoint ({'model': ..., 'step': ...}) must
+    fail IMMEDIATELY naming the offending keys — silently dropping the
+    non-tensor values used to load an empty dict that only failed
+    later with an opaque missing-key error."""
+    import io
+    import pickle
+    import zipfile
+
+    buf = io.BytesIO()
+    pickle.Pickler(buf, protocol=2).dump({"step": 7, "lr": 0.1})
+    path = tmp_path / "ckpt.pt"
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", buf.getvalue())
+        zf.writestr("archive/version", "3\n")
+    with pytest.raises(ValueError, match="step.*sub-dict|non-tensor"):
+        read_torch_pt(str(path))

@@ -573,3 +573,80 @@ def test_delete_range_metadata_only_drop(spark, tmp_path):
     got2 = read_table(spark, path).toPandas()
     assert got2["doc_id"].max() < 900
     assert len(got2) == 1000 - 501 - 100
+
+def test_delete_range_keeps_null_rows(spark, tmp_path):
+    """SQL DELETE semantics: a NULL delete-column makes the predicate
+    UNKNOWN, so NULL rows are KEPT — both on the rewrite path (the
+    null-safe complement filter) and on the metadata-drop path (a file
+    with NULL rows is never dropped metadata-only, however 'inside'
+    its min/max range looks, because parquet stats ignore NULLs)."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import delete_range, read_table
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame(
+        {
+            "k": [float(i) for i in range(100)] + [None] * 5,
+            "val": list(range(105)),
+        }
+    )
+    # single file: min/max = [0, 99], fully inside the delete range,
+    # but it carries 5 NULL rows — the old metadata-drop would lose them
+    write_table(spark.createDataFrame(pdf).coalesce(1), path)
+
+    snap = delete_range(spark, path, "k", 0.0, 200.0)
+    assert snap["properties"]["dropped_files"] == 0  # null gate held
+    got = read_table(spark, path).toPandas()
+    assert len(got) == 5
+    assert got["k"].isna().all()
+    assert sorted(got["val"]) == [100, 101, 102, 103, 104]
+
+
+def test_delete_range_nullfree_still_drops_metadata_only(spark, tmp_path):
+    """The null gate must not tax the common case: a null-free
+    clustered table still gets the metadata-only drop (nullfree flag
+    recorded from parquet null_count stats at write time)."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import _load_snapshots, delete_range
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame({"k": range(1000), "val": range(1000)})
+    write_table(spark.createDataFrame(pdf).repartition(8), path, sort_by=["k"])
+    for f in _load_snapshots(path)[-1]["files"]:
+        assert "k" in f["nullfree"]
+    snap = delete_range(spark, path, "k", 200, 700)
+    assert snap["properties"]["dropped_files"] >= 2
+
+
+def test_stats_match_date_vs_datetime_bounds(spark, tmp_path):
+    """Date-column stats are stored as 'YYYY-MM-DD'; a datetime filter
+    bound canonicalizes to 'YYYY-MM-DDTHH:MM:SS'. Raw lexicographic
+    comparison would FALSELY prune a file whose max date equals the
+    bound's date ('2024-01-05' < '2024-01-05T00:00:00'); the promoted
+    comparison keeps it. Incomparable representations (numeric bound
+    vs string stats) degrade to keep, never TypeError."""
+    import datetime
+
+    from remediner_spark.sources.table import _stats_match
+
+    entry = {"stats": {"d": ["2024-01-01", "2024-01-05"]}}
+    # bound at midnight of the max date: rows with d == 2024-01-05
+    # satisfy d >= bound under Spark's date->timestamp cast — keep
+    assert _stats_match(
+        entry, {"d": (datetime.datetime(2024, 1, 5, 0, 0, 0), None)}
+    )
+    # bound strictly past the range: provably disjoint — prune
+    assert not _stats_match(
+        entry, {"d": (datetime.datetime(2024, 1, 6, 0, 0, 0), None)}
+    )
+    # datetime stats vs date bound (reverse direction): hi bound
+    # date(2024,1,5) casts to midnight; a file starting at 10:00 that
+    # day is disjoint
+    ts_entry = {"stats": {"t": ["2024-01-05T10:00:00", "2024-01-07T00:00:00"]}}
+    assert not _stats_match(ts_entry, {"t": (None, datetime.date(2024, 1, 5))})
+    assert _stats_match(ts_entry, {"t": (None, datetime.date(2024, 1, 6))})
+    # numeric bound against string stats: incomparable -> keep, no raise
+    assert _stats_match(entry, {"d": (5, None)})
+    assert _stats_match(entry, {"d": (None, 5)})
