@@ -110,6 +110,40 @@ def _wait_for_idle(threshold: float = 2.0, max_wait_s: int = 600) -> None:
               file=sys.stderr)
 
 
+def _cpu_probe() -> float:
+    """Fixed pure-Python work unit (~0.1 s idle): its wall time is a
+    direct contention signal. loadavg misses short-lived bursts (1-min
+    EMA); the probe, run right after a timed section, catches the
+    multi-minute noisy-neighbor windows that corrupted single bench
+    sections in r3/r4 (SCALE.md)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    return time.perf_counter() - t0
+
+
+_BURST_FACTOR = 1.5
+
+
+class _BurstGuard:
+    """Detects host-load bursts around a timed section and grants one
+    re-run. Calibrated at start (min-of-3 probe on the idle host)."""
+
+    def __init__(self) -> None:
+        self.base = min(_cpu_probe() for _ in range(3))
+        self.retries: list[str] = []
+
+    def corrupted(self, section: str) -> bool:
+        if _cpu_probe() <= _BURST_FACTOR * self.base:
+            return False
+        self.retries.append(section)
+        print(f"# burst detected after {section}; re-running",
+              file=sys.stderr)
+        _wait_for_idle()
+        return True
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -137,6 +171,7 @@ def main() -> int:
             filter_language(pages), tagger_bc
         ).count()
 
+    guard = _BurstGuard()
     # warmup x2: worker spawn + JVM JIT need more than one pass to
     # reach steady state (measured: run1 ~1.6x slower than run3)
     kg_run()
@@ -144,6 +179,10 @@ def main() -> int:
     kg_sec = float("inf")
     timed_runs = int(os.environ.get("SPARK_GRAFT_TIMED_RUNS", "2"))
     for _ in range(timed_runs):  # min-of-k: steady state, not scheduler luck
+        t0 = time.time()
+        n_triples = kg_run()
+        kg_sec = min(kg_sec, time.time() - t0)
+    if guard.corrupted("kg_triple_extraction"):
         t0 = time.time()
         n_triples = kg_run()
         kg_sec = min(kg_sec, time.time() - t0)
@@ -176,11 +215,15 @@ def main() -> int:
         graph_run()
         graph_warm_sec = round(time.time() - t0, 3)
         graph_sec = float("inf")
-        for _ in range(2):
+        legs = 2
+        while legs:
             release_caches(spark)
             t0 = time.time()
             graph_run()
             graph_sec = min(graph_sec, round(time.time() - t0, 3))
+            legs -= 1
+            if not legs and guard.corrupted("kg_graph_pipeline"):
+                legs = 1
         release_caches(spark)
 
     # --- per-query timings over the provided tables ---
@@ -198,17 +241,28 @@ def main() -> int:
                 df.write.format("noop").mode("overwrite").save()
 
             # min-of-2 after one warmup (sub-second walls carry ±30%
-            # single-run scheduler noise — measured, SCALE.md r4), and
-            # release caches so no query pays for a predecessor's
-            # leaked storage (unpersist discipline, session.py)
+            # single-run scheduler noise — measured, SCALE.md r4).
+            # COLD legs: release_caches between EVERY run — a persist
+            # created INSIDE the query (minhash band table, bloom
+            # shingles) otherwise stays live from the previous run and
+            # serves the next via logical-plan cache matching, which
+            # made r4's dedup_minhash_lsh/decontaminate_bloom walls
+            # silently warm (r4 verdict). Within one run the persist
+            # still earns its keep (built once, consumed twice) — that
+            # is the query's honest cost.
             run_query()  # warmup
+            release_caches(spark)
             wall = float("inf")
-            for _ in range(2):
+            legs = 2
+            while legs:
                 t0 = time.time()
                 run_query()
                 wall = min(wall, time.time() - t0)
+                release_caches(spark)
+                legs -= 1
+                if not legs and guard.corrupted(name):
+                    legs = 1
             q_times[name] = round(wall, 3)
-            release_caches(spark)
     q_times["kg_triple_extraction"] = round(kg_sec, 3)
     if graph_sec is not None:
         q_times["kg_graph_pipeline"] = graph_sec
@@ -223,6 +277,9 @@ def main() -> int:
         "cores": cores,
         "n_pages": n_pages,
         "n_triples": n_triples,
+        # noisy-neighbor evidence: sections whose timed window a
+        # host-load burst corrupted and that were re-run (SCALE.md)
+        "burst_retries": guard.retries,
     }
     print(json.dumps(result))
     spark.stop()
