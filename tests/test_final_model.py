@@ -109,3 +109,34 @@ def test_committed_golden_matches_derivation():
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True)
     )
+
+
+def test_committed_golden_matches_transcription_composition():
+    """The stronger form of the golden check (r4 verdict residual #2):
+    the committed parquet must ALSO equal a composition built from the
+    literal reference transcriptions (reference_chain,
+    reference_convert + quirk-undos, independent mention harvest and
+    group pairing in tools/gen_final_model_expected.py) — so the
+    expected file is evidence independent of the engine kernels, not
+    the kernels agreeing with themselves. The neural forwards and
+    wordpiece framing are shared by necessity (the reference's are
+    trained torch artifacts); everything around them is
+    transcription-side here."""
+    import os
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+    )
+    from gen_final_model_expected import derive_from_transcriptions
+
+    from remediner_spark.plans.kg_gate import ensure_final_model_expected
+
+    got = pd.read_parquet(ensure_final_model_expected())
+    want = derive_from_transcriptions()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
