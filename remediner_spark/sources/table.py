@@ -352,6 +352,14 @@ def write_table(
         "partition_by": partition_by,
         "sort_by": sort_by or [],
         "files": files,
+        # merge-on-read delete entries follow their targeted files:
+        # pruned when a target leaves the manifest (overwrite drops
+        # all; replace_partitions folds the compacted ones)
+        "delete_files": _carry_delete_files(
+            snapshots[-1], {f["path"] for f in files}
+        ) if snapshots else [],
+        # physical data-file row count; MoR delete entries subtract at
+        # read time (same nuance as Iceberg's total-records)
         "total_rows": sum(f["rows"] for f in files),
         "properties": properties or {},
     }
@@ -364,6 +372,129 @@ def table_snapshots(path: str) -> list[dict]:
         {k: s[k] for k in ("snapshot_id", "ts", "mode", "total_rows")}
         for s in _load_snapshots(path)
     ]
+
+
+def _bound_repr(v) -> tuple:
+    """JSON-safe (value, type_tag) for a predicate-delete bound. The
+    tag restores the bound's OWN type at apply time so Spark's normal
+    binary-comparison coercion decides the compare type (a date column
+    against a timestamp bound must compare as timestamps — casting the
+    bound to the column type would truncate and over-delete)."""
+    import datetime
+
+    if v is None:
+        return None, None
+    if isinstance(v, bool):
+        raise ValueError("boolean bounds are not supported")
+    if isinstance(v, (int, float)):
+        return v, "num"
+    if isinstance(v, str):
+        return v, "str"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" "), "timestamp"
+    if isinstance(v, datetime.date):
+        return v.isoformat(), "date"
+    raise ValueError(f"unsupported bound type: {v!r}")
+
+
+def _bound_lit(raw, tag):
+    from pyspark.sql import functions as F
+
+    if tag in ("num", "str"):
+        return F.lit(raw)
+    return F.lit(raw).cast(tag)
+
+
+def _carry_delete_files(prev_snap: dict, new_paths: set[str]) -> list[dict]:
+    """Propagate row-level delete entries into a new snapshot: each
+    entry applies only to the data-file paths it targeted at commit
+    time, so when a targeted file leaves the manifest (rewritten,
+    compacted, replaced) its path is pruned; an entry with no
+    surviving targets is dropped — that is how compaction folds
+    deletes in."""
+    out = []
+    for d in prev_snap.get("delete_files") or []:
+        paths = [p for p in d["paths"] if p in new_paths]
+        if paths:
+            out.append({**d, "paths": paths})
+    return out
+
+
+def _scan_files(
+    spark: SparkSession,
+    snap: dict,
+    files: list[dict],
+    apply_deletes: bool = True,
+) -> DataFrame:
+    """Plan a read of manifest file entries: snapshot schema (old files
+    null-fill evolved columns), partition columns re-attached from the
+    manifest and cast, and — merge-on-read — the snapshot's row-level
+    ``delete_files`` applied to exactly the data files they target.
+
+    Delete entries come in two shapes (both metadata-light, neither
+    rewrites data files at commit time):
+
+    * ``eq``  — an equality-delete parquet of key tuples
+      (Iceberg v2 equality deletes): applied as a broadcast LEFT ANTI
+      join on ``cols`` to the targeted files,
+    * ``pred`` — a range predicate (col, lo, hi bounds stored in the
+      stats-canonical form and cast back to the column type): applied
+      as the null-safe complement filter.
+
+    Files are grouped by their applicable delete-entry set so each
+    entry is planned once; untargeted files take the plain scan path.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    full_schema = StructType.fromJson(snap["schema"])
+    if not files:
+        return spark.createDataFrame([], full_schema)
+    partition_by = snap["partition_by"]
+    deletes = (snap.get("delete_files") or []) if apply_deletes else []
+    groups: dict[tuple, list[dict]] = {}
+    for f in files:
+        key = tuple(
+            i for i, d in enumerate(deletes) if f["path"] in d["paths"]
+        )
+        groups.setdefault(key, []).append(f)
+
+    data_schema = StructType(
+        [f for f in full_schema.fields if f.name not in partition_by]
+    )
+    types = {f["name"]: f["type"] for f in snap["schema"]["fields"]}
+    parts: list[DataFrame] = []
+    for key in sorted(groups):
+        group = groups[key]
+        df = spark.read.schema(data_schema).parquet(
+            *[g["path"] for g in group]
+        )
+        df = _attach_partition_cols(spark, df, group, partition_by)
+        for pcol in partition_by:
+            df = df.withColumn(pcol, F.col(pcol).cast(types[pcol]))
+        df = df.select([f.name for f in full_schema.fields])
+        for i in key:
+            d = deletes[i]
+            if d["type"] == "eq":
+                keys = spark.read.parquet(d["path"]).select(*d["cols"])
+                df = df.join(F.broadcast(keys), d["cols"], "left_anti")
+            else:  # pred: range predicate, SQL DELETE null semantics
+                col = d["col"]
+                in_range = F.lit(True)
+                if d.get("lo") is not None:
+                    in_range = in_range & (
+                        F.col(col) >= _bound_lit(d["lo"], d["lo_type"])
+                    )
+                if d.get("hi") is not None:
+                    in_range = in_range & (
+                        F.col(col) <= _bound_lit(d["hi"], d["hi_type"])
+                    )
+                df = df.filter(~in_range | F.col(col).isNull())
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def read_table(
@@ -398,23 +529,10 @@ def read_table(
         files = [f for f in files if _partition_match(f, partition_filter)]
     if stats_filter:
         files = [f for f in files if _stats_match(f, stats_filter)]
-    from pyspark.sql.types import StructType
-
-    full_schema = StructType.fromJson(snap["schema"])
-    if not files:
-        df = spark.createDataFrame([], full_schema)
-    else:
-        # read with the SNAPSHOT's schema, not the files' (Iceberg
-        # semantics): after add-column evolution old files lack the new
-        # columns and Spark fills them with null; partition columns are
-        # excluded here (pruned from data files) and re-attached from
-        # the manifest below, then order restored to the table schema
-        data_schema = StructType(
-            [f for f in full_schema.fields if f.name not in snap["partition_by"]]
-        )
-        df = spark.read.schema(data_schema).parquet(*[f["path"] for f in files])
-        df = _attach_partition_cols(spark, df, files, snap["partition_by"])
-        df = df.select([f.name for f in full_schema.fields])
+    # snapshot-schema read (old files null-fill evolved columns),
+    # partition columns re-attached from the manifest, merge-on-read
+    # delete entries applied — all in the shared scan planner
+    df = _scan_files(spark, snap, files)
     if stats_filter:
         from pyspark.sql import functions as F
 
@@ -501,40 +619,26 @@ def compact_table(
     by_part: dict[tuple, list[dict]] = {}
     for f in snap["files"]:
         by_part.setdefault(tuple(sorted(f["partition"].items())), []).append(f)
+    # a partition qualifies when crowded OR when any of its files is
+    # targeted by a merge-on-read delete entry — compaction is the
+    # operation that FOLDS deletes: the rewrite reads with deletes
+    # applied (_scan_files) and write_table prunes the entries whose
+    # targets left the manifest
+    deleted_paths = {
+        p for d in snap.get("delete_files") or [] for p in d["paths"]
+    }
     crowded = {
         part: files
         for part, files in by_part.items()
         if len(files) > min_files_per_partition
+        or any(f["path"] in deleted_paths for f in files)
     }
     if not crowded:
         return snap
     crowded_files = [f for files in crowded.values() for f in files]
-    # read with the TABLE schema, not file inference: after add-column
-    # evolution some crowded files predate the new columns, and an
-    # inferred (first-file) schema would either drop the column or make
-    # the select below fail — snapshot-schema read null-fills instead
-    # (same semantics as read_table)
-    from pyspark.sql.types import StructType
-
-    data_schema = StructType(
-        [
-            f
-            for f in StructType.fromJson(snap["schema"]).fields
-            if f.name not in partition_by
-        ]
-    )
-    df = spark.read.schema(data_schema).parquet(
-        *[f["path"] for f in crowded_files]
-    )
-    # partition columns are pruned out of the data files; recover them
-    # from the manifest (shared helper — same mechanism as read_table)
-    # and cast back to the table schema's types (the write-time schema
-    # check compares names+types)
-    df = _attach_partition_cols(spark, df, crowded_files, partition_by)
-    types = {f["name"]: f["type"] for f in snap["schema"]["fields"]}
-    for col in partition_by:
-        df = df.withColumn(col, F.col(col).cast(types[col]))
-    df = df.select([f["name"] for f in snap["schema"]["fields"]])
+    # snapshot-schema read + partition recovery + delete application:
+    # the shared scan planner (same semantics as read_table)
+    df = _scan_files(spark, snap, crowded_files)
     compacted = df.repartition(max(len(crowded), 1), *partition_by)
     return write_table(
         compacted, path, mode="replace_partitions", partition_by=partition_by
@@ -546,18 +650,33 @@ def upsert_rows(
     path: str,
     updates: DataFrame,
     key: list[str],
+    strategy: str = "auto",
 ) -> dict:
-    """Row-level MERGE (Iceberg v2 copy-on-write, file granularity):
-    delete current rows whose ``key`` matches an update, insert every
-    update row. Only files whose recorded column stats OVERLAP the
-    updates' key bounds are rewritten — untouched files are carried
-    into the new snapshot by reference, so a narrow-key upsert into a
-    ``sort_by``-clustered table rewrites a handful of files, not the
-    table. Earlier snapshots still time-travel to the pre-merge files.
+    """Row-level MERGE (Iceberg v2, file granularity): delete current
+    rows whose ``key`` matches an update, insert every update row.
+    Only files whose recorded column stats OVERLAP the updates' key
+    bounds are affected; the rest are carried by reference. Earlier
+    snapshots still time-travel to the pre-merge files.
+
+    ``strategy``:
+
+    * ``"cow"``  — copy-on-write: touched files are rewritten minus
+      the matched keys plus the updates. Best when updates are dense
+      relative to the touched files.
+    * ``"mor"``  — merge-on-read: touched files stay; the commit adds
+      the updates as new data files plus an equality-delete file of
+      the update keys targeting exactly the touched files. Readers
+      apply the delete as a broadcast anti-join at scan time;
+      ``compact_table`` folds it into rewritten files later. Best for
+      high-frequency narrow upserts at 100 TB, where CoW would
+      rewrite millions of rows to merge a handful.
+    * ``"auto"`` (default) — ``mor`` when the touched files hold more
+      than ``_MOR_AMPLIFICATION`` rows per update row, else ``cow``.
 
     ``updates`` must carry the full table schema (use write_table for
     schema evolution first). Returns the new snapshot record, which
-    reports ``rewritten_files``/``carried_files``."""
+    reports ``rewritten_files``/``carried_files`` (+``delete_targets``
+    for MoR commits)."""
     snapshots = _load_snapshots(path)
     if not snapshots:
         raise FileNotFoundError(f"no table at {path}")
@@ -590,38 +709,63 @@ def upsert_rows(
         )
     partition_by = snap["partition_by"]
 
-    # File targeting. For a single-column key with a bounded number of
-    # distinct update keys, test PER FILE whether any update key falls
-    # inside its recorded [min, max] (sorted keys + binary search —
-    # one outlier key then only touches its own file, not a global
-    # bounding box spanning the table). Multi-column keys or huge
-    # update sets fall back to the per-column bounding box, which is a
-    # superset and therefore always safe; files without stats are
-    # always touched (they might hold matching keys).
+    # File targeting. For a bounded number of distinct update keys,
+    # test PER FILE whether any update key TUPLE falls inside the
+    # file's recorded per-column [min, max] box: sorted tuples + binary
+    # search on the leading key column narrow the candidate span, the
+    # remaining columns' bounds filter within it — so one outlier key
+    # only touches its own file, not a global bounding box spanning
+    # the table, for single AND composite keys. Huge update sets fall
+    # back to the per-column bounding box, which is a superset and
+    # therefore always safe; files without stats are always touched
+    # (they might hold matching keys).
     from pyspark.sql import functions as F
 
     _KEYSET_CAP = 100_000
     keyset = None
-    if len(key) == 1:
-        kcol = key[0]
-        distinct = (
-            updates.select(kcol).dropDuplicates().limit(_KEYSET_CAP + 1)
-        ).collect()
-        if len(distinct) <= _KEYSET_CAP:
-            vals = [_stats_value(r[kcol]) for r in distinct]
-            if all(v is not None for v in vals):
-                keyset = sorted(vals)
+    distinct = (
+        updates.select(*key).dropDuplicates().limit(_KEYSET_CAP + 1)
+    ).collect()
+    if len(distinct) <= _KEYSET_CAP:
+        tuples = []
+        for r in distinct:
+            vals = tuple(_stats_value(r[k]) for k in key)
+            if any(v is None for v in vals):
+                tuples = None
+                break
+            tuples.append(vals)
+        if tuples is not None:
+            keyset = sorted(tuples)
 
     if keyset is not None:
         import bisect
 
+        first = [t[0] for t in keyset]
+
         def is_touched(f: dict) -> bool:
-            st = (f.get("stats") or {}).get(key[0])
-            if not st:
+            stats = f.get("stats") or {}
+            sts = [stats.get(k) for k in key]
+            try:
+                if sts[0] is None:
+                    span = range(len(keyset))
+                else:
+                    lo, hi = sts[0]
+                    span = range(
+                        bisect.bisect_left(first, lo),
+                        bisect.bisect_right(first, hi),
+                    )
+                for idx in span:
+                    t = keyset[idx]
+                    if all(
+                        st is None or st[0] <= t[c] <= st[1]
+                        for c, st in enumerate(sts)
+                    ):
+                        return True
+                return False
+            except TypeError:
+                # incomparable stored/update representations: keep the
+                # file — targeting is an optimization, never a gate
                 return True
-            lo, hi = st
-            i = bisect.bisect_left(keyset, lo)
-            return i < len(keyset) and keyset[i] <= hi
 
     else:
         bounds_row = updates.agg(
@@ -638,27 +782,39 @@ def upsert_rows(
     touched = [f for f in snap["files"] if is_touched(f)]
     carried = [f for f in snap["files"] if not is_touched(f)]
 
-    from pyspark.sql.types import StructType
+    if strategy == "auto":
+        # merge-on-read when the copy-on-write amplification is high:
+        # rewriting N rows of touched files to merge M << N updates.
+        # The ratio comes free from the manifest; the update count is
+        # one cheap job over the (small by contract) updates frame.
+        touched_rows = sum(f["rows"] for f in touched)
+        n_updates = updates.count()
+        strategy = (
+            "mor"
+            if touched and touched_rows > _MOR_AMPLIFICATION * max(n_updates, 1)
+            else "cow"
+        )
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"unknown upsert strategy {strategy!r}")
 
-    full_schema = StructType.fromJson(snap["schema"])
-    if touched:
-        data_schema = StructType(
-            [f for f in full_schema.fields if f.name not in partition_by]
-        )
-        cur = spark.read.schema(data_schema).parquet(
-            *[f["path"] for f in touched]
-        )
-        cur = _attach_partition_cols(spark, cur, touched, partition_by)
-        types = {f["name"]: f["type"] for f in snap["schema"]["fields"]}
-        for col in partition_by:
-            cur = cur.withColumn(col, F.col(col).cast(types[col]))
-        cur = cur.select(table_cols)
-        remaining = cur.join(
-            updates.select(*key).dropDuplicates(), key, "left_anti"
-        )
-        out = remaining.unionByName(updates.select(*table_cols))
-    else:
+    if strategy == "mor" and touched:
+        # Iceberg v2 merge-on-read: touched files are NOT rewritten.
+        # Commit = the update rows as new data files + an
+        # equality-delete file of the update keys targeting exactly
+        # the touched files; readers anti-join at scan time
+        # (_scan_files), compaction folds it later.
         out = updates.select(*table_cols)
+        mode = "upsert-mor"
+    else:
+        out = (
+            _scan_files(spark, snap, touched)
+            .join(updates.select(*key).dropDuplicates(), key, "left_anti")
+            .unionByName(updates.select(*table_cols))
+            if touched
+            else updates.select(*table_cols)
+        )
+        strategy = "cow"
+        mode = "upsert"
 
     commit_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", f"commit={commit_id}")
@@ -676,24 +832,71 @@ def upsert_rows(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(data_dir)
     new_files = _collect_file_entries(data_dir, partition_by)
-    files = carried + new_files
+
+    if strategy == "mor" and touched:
+        files = snap["files"] + new_files
+        delete_files = _carry_delete_files(
+            snap, {f["path"] for f in files}
+        )
+        eq_path = _write_eq_delete(
+            spark, path, commit_id, updates.select(*key).dropDuplicates()
+        )
+        delete_files.append(
+            {
+                "type": "eq",
+                "path": eq_path,
+                "cols": list(key),
+                "paths": [f["path"] for f in touched],
+            }
+        )
+        properties = {
+            "rewritten_files": 0,
+            "carried_files": len(snap["files"]),
+            "delete_targets": len(touched),
+        }
+    else:
+        files = carried + new_files
+        delete_files = _carry_delete_files(snap, {f["path"] for f in files})
+        properties = {
+            "rewritten_files": len(touched),
+            "carried_files": len(carried),
+        }
     snapshot = {
         "snapshot_id": snap["snapshot_id"] + 1,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
-        "mode": "upsert",
+        "mode": mode,
         "commit": commit_id,
         "schema": snap["schema"],
         "partition_by": partition_by,
         "sort_by": sort_by,
         "files": files,
+        "delete_files": delete_files,
         "total_rows": sum(f["rows"] for f in files),
-        "properties": {
-            "rewritten_files": len(touched),
-            "carried_files": len(carried),
-        },
+        "properties": properties,
     }
     _save_snapshots(path, snapshots + [snapshot])
     return snapshot
+
+
+# copy-on-write amplification threshold for upsert strategy "auto":
+# switch to merge-on-read when the touched files hold more than this
+# many rows per update row
+_MOR_AMPLIFICATION = 8
+
+
+def _write_eq_delete(spark, path: str, commit_id: str, keys: DataFrame) -> str:
+    """Write an equality-delete parquet (one file) under the table's
+    deletes/ area; returns the data file path."""
+    del_dir = os.path.join(path, "deletes", f"commit={commit_id}")
+    keys.coalesce(1).write.mode("overwrite").parquet(del_dir)
+    parts = [
+        os.path.join(del_dir, n)
+        for n in os.listdir(del_dir)
+        if n.endswith(".parquet")
+    ]
+    if len(parts) != 1:
+        raise RuntimeError(f"expected one delete file in {del_dir}")
+    return parts[0]
 
 
 def delete_range(
@@ -702,6 +905,7 @@ def delete_range(
     col: str,
     lo=None,
     hi=None,
+    strategy: str = "cow",
 ) -> dict:
     """Row-level range DELETE (the retention/GDPR shape: ``DELETE
     WHERE col BETWEEN lo AND hi``, either bound open). SQL DELETE
@@ -716,12 +920,17 @@ def delete_range(
       file's ``nullfree`` flag — otherwise its NULL rows would vanish
       with it),
     * disjoint                -> carried by reference (NULL rows kept),
-    * overlapping, stats-less, or inside-but-maybe-null -> rewritten
-      with the null-safe complement filter (copy-on-write).
+    * overlapping, stats-less, or inside-but-maybe-null -> with
+      ``strategy="cow"`` (default) rewritten with the null-safe
+      complement filter; with ``strategy="mor"`` kept in place and
+      covered by a predicate-delete entry applied at scan time and
+      folded by the next compaction — the whole DELETE is then
+      metadata-only, the right shape for frequent retention cuts on
+      a 100 TB table.
 
     Earlier snapshots still time-travel to the deleted rows. Returns
     the new snapshot; properties report dropped/rewritten/carried
-    file counts."""
+    file counts (+``delete_targets`` for MoR commits)."""
     snapshots = _load_snapshots(path)
     if not snapshots:
         raise FileNotFoundError(f"no table at {path}")
@@ -760,24 +969,14 @@ def delete_range(
             rewrite.append(f)
 
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType
 
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"unknown delete strategy {strategy!r}")
     partition_by = snap["partition_by"]
     new_files: list[dict] = []
     commit_id = uuid.uuid4().hex[:12]
-    if rewrite:
-        full_schema = StructType.fromJson(snap["schema"])
-        data_schema = StructType(
-            [f for f in full_schema.fields if f.name not in partition_by]
-        )
-        cur = spark.read.schema(data_schema).parquet(
-            *[f["path"] for f in rewrite]
-        )
-        cur = _attach_partition_cols(spark, cur, rewrite, partition_by)
-        types = {f["name"]: f["type"] for f in snap["schema"]["fields"]}
-        for pcol in partition_by:
-            cur = cur.withColumn(pcol, F.col(pcol).cast(types[pcol]))
-        cur = cur.select([f.name for f in full_schema.fields])
+    if rewrite and strategy == "cow":
+        cur = _scan_files(spark, snap, rewrite)
         in_range = F.lit(True)
         if lo is not None:
             in_range = in_range & (F.col(col) >= F.lit(lo))
@@ -798,19 +997,44 @@ def delete_range(
         writer.parquet(data_dir)
         new_files = _collect_file_entries(data_dir, partition_by)
 
+    if strategy == "mor":
+        # merge-on-read: boundary files stay in place; the commit is a
+        # predicate-delete entry targeting exactly those files, applied
+        # as the null-safe complement filter at scan time and folded by
+        # the next compaction — a metadata-only row-level DELETE
+        files = carried + rewrite
+    else:
+        files = carried + new_files
+    delete_files = _carry_delete_files(snap, {f["path"] for f in files})
+    if strategy == "mor" and rewrite:
+        lo_repr, lo_tag = _bound_repr(lo)
+        hi_repr, hi_tag = _bound_repr(hi)
+        delete_files.append(
+            {
+                "type": "pred",
+                "col": col,
+                "lo": lo_repr,
+                "lo_type": lo_tag,
+                "hi": hi_repr,
+                "hi_type": hi_tag,
+                "paths": [f["path"] for f in rewrite],
+            }
+        )
     snapshot = {
         "snapshot_id": snap["snapshot_id"] + 1,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
-        "mode": "delete",
+        "mode": "delete" if strategy == "cow" else "delete-mor",
         "commit": commit_id,
         "schema": snap["schema"],
         "partition_by": partition_by,
         "sort_by": snap.get("sort_by") or [],
-        "files": carried + new_files,
-        "total_rows": sum(f["rows"] for f in carried + new_files),
+        "files": files,
+        "delete_files": delete_files,
+        "total_rows": sum(f["rows"] for f in files),
         "properties": {
             "dropped_files": len(dropped),
-            "rewritten_files": len(rewrite),
+            "rewritten_files": len(rewrite) if strategy == "cow" else 0,
+            "delete_targets": len(rewrite) if strategy == "mor" else 0,
             "carried_files": len(carried),
         },
     }
@@ -851,10 +1075,15 @@ def expire_snapshots(path: str, keep_last: int = 2) -> dict:
         merged["carried_scopes"] = prev
         anchor["properties"] = merged
         kept = [anchor] + kept[1:]
-    live = {f["path"] for s in kept for f in s["files"]}
-    dead = {
-        f["path"] for s in dropped for f in s["files"] if f["path"] not in live
-    }
+    def _paths(s: dict) -> set[str]:
+        # data files + equality-delete files (pred entries are pure
+        # metadata, nothing on disk to manage)
+        return {f["path"] for f in s["files"]} | {
+            d["path"] for d in s.get("delete_files") or [] if "path" in d
+        }
+
+    live = {p for s in kept for p in _paths(s)}
+    dead = {p for s in dropped for p in _paths(s) if p not in live}
     # COMMIT the pruned manifest (tmp+rename in _save_snapshots) BEFORE
     # touching data files: a crash mid-delete then only leaks orphan
     # files the next expiry can't see (harmless), instead of leaving

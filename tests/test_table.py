@@ -453,7 +453,9 @@ def test_upsert_rows_copy_on_write(spark, tmp_path):
     ups = pd.DataFrame(
         {"doc_id": [100, 101, 5000], "val": [-1, -2, -3]}
     )
-    snap = upsert_rows(spark, path, spark.createDataFrame(ups), ["doc_id"])
+    snap = upsert_rows(
+        spark, path, spark.createDataFrame(ups), ["doc_id"], strategy="cow"
+    )
     # narrow key range + clustered files: most files carried untouched
     assert snap["properties"]["carried_files"] >= 5
     assert snap["properties"]["rewritten_files"] <= 3
@@ -650,3 +652,236 @@ def test_stats_match_date_vs_datetime_bounds(spark, tmp_path):
     # numeric bound against string stats: incomparable -> keep, no raise
     assert _stats_match(entry, {"d": (5, None)})
     assert _stats_match(entry, {"d": (None, 5)})
+
+def test_upsert_mor_equals_cow(spark, tmp_path):
+    """Merge-on-read upsert must produce the same table contents as
+    copy-on-write — without rewriting any data file — and time travel
+    must reach the pre-merge rows in both."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        _load_snapshots,
+        read_table,
+        upsert_rows,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(1000), "val": [i * 10 for i in range(1000)]}
+    )
+    ups = pd.DataFrame({"doc_id": [100, 101, 5000], "val": [-1, -2, -3]})
+    results = {}
+    for strat in ("cow", "mor"):
+        path = str(tmp_path / strat)
+        write_table(
+            spark.createDataFrame(pdf).repartition(8), path,
+            sort_by=["doc_id"],
+        )
+        snap = upsert_rows(
+            spark, path, spark.createDataFrame(ups), ["doc_id"],
+            strategy=strat,
+        )
+        if strat == "mor":
+            assert snap["properties"]["rewritten_files"] == 0
+            assert snap["properties"]["delete_targets"] >= 1
+            # every pre-merge data file is still in the manifest
+            pre = {f["path"] for f in _load_snapshots(path)[0]["files"]}
+            post = {f["path"] for f in snap["files"]}
+            assert pre <= post
+            assert len(snap["delete_files"]) == 1
+        results[strat] = (
+            read_table(spark, path)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # pre-merge time travel intact
+        old = read_table(spark, path, snapshot_id=1).toPandas()
+        assert len(old) == 1000
+        assert old.set_index("doc_id").loc[100, "val"] == 1000
+    pd.testing.assert_frame_equal(results["cow"], results["mor"])
+
+
+def test_upsert_auto_picks_mor_for_narrow_updates(spark, tmp_path):
+    """strategy='auto': a 3-row update against files holding hundreds
+    of rows (high CoW amplification) goes merge-on-read; a dense
+    update (most rows replaced) goes copy-on-write."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import upsert_rows
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame({"doc_id": range(1000), "val": range(1000)})
+    write_table(
+        spark.createDataFrame(pdf).repartition(4), path, sort_by=["doc_id"]
+    )
+    narrow = pd.DataFrame({"doc_id": [5], "val": [-1]})
+    snap = upsert_rows(spark, path, spark.createDataFrame(narrow), ["doc_id"])
+    assert snap["mode"] == "upsert-mor"
+    dense = pd.DataFrame({"doc_id": range(500), "val": [-2] * 500})
+    snap2 = upsert_rows(spark, path, spark.createDataFrame(dense), ["doc_id"])
+    assert snap2["mode"] == "upsert"
+
+
+def test_compact_folds_mor_deletes(spark, tmp_path):
+    """compact_table applies pending delete entries while rewriting and
+    the folded entries leave the manifest (their targets are gone)."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        _load_snapshots,
+        compact_table,
+        read_table,
+        upsert_rows,
+    )
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame(
+        {"doc_id": range(300),
+         "lang": ["en" if i % 2 else "de" for i in range(300)],
+         "val": list(range(300))}
+    )
+    write_table(
+        spark.createDataFrame(pdf).repartition(3), path,
+        partition_by=["lang"],
+    )
+    ups = pd.DataFrame(
+        {"doc_id": [10, 11], "lang": ["en", "de"], "val": [-1, -2]}
+    )
+    upsert_rows(spark, path, spark.createDataFrame(ups), ["doc_id"],
+                strategy="mor")
+    assert _load_snapshots(path)[-1]["delete_files"]
+    before = (
+        read_table(spark, path).toPandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    snap = compact_table(spark, path, min_files_per_partition=1)
+    assert not snap["delete_files"]  # folded in
+    after = (
+        read_table(spark, path).toPandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        before, after[before.columns.tolist()]
+    )
+    # the pre-compaction MoR snapshot still time-travels with deletes
+    prev_id = snap["snapshot_id"] - 1
+    tt = read_table(spark, path, snapshot_id=prev_id).toPandas()
+    assert tt.set_index("doc_id").loc[10, "val"] == -1
+
+
+def test_delete_range_mor_predicate(spark, tmp_path):
+    """strategy='mor' range DELETE: boundary files stay in place under
+    a predicate-delete entry; contents equal the CoW delete; NULL rows
+    survive; inside files still metadata-drop."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        _load_snapshots,
+        delete_range,
+        read_table,
+    )
+
+    pdf = pd.DataFrame(
+        {"k": [float(i) for i in range(1000)] + [None] * 5,
+         "val": list(range(1005))}
+    )
+    results = {}
+    for strat in ("cow", "mor"):
+        path = str(tmp_path / strat)
+        write_table(
+            spark.createDataFrame(pdf).repartition(8), path, sort_by=["k"]
+        )
+        snap = delete_range(spark, path, "k", 201.5, 700.5, strategy=strat)
+        assert snap["properties"]["dropped_files"] >= 1
+        if strat == "mor":
+            assert snap["properties"]["rewritten_files"] == 0
+            assert snap["properties"]["delete_targets"] >= 1
+            assert any(
+                d["type"] == "pred" for d in snap["delete_files"]
+            )
+        results[strat] = (
+            read_table(spark, path).toPandas()
+            .sort_values("val").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(results["cow"], results["mor"])
+    got = results["mor"]
+    assert len(got) == 1005 - 499  # k in [202, 700] deleted
+    assert got["k"].isna().sum() == 5  # NULL rows kept
+
+
+def test_expire_keeps_live_equality_delete_files(spark, tmp_path):
+    """expire_snapshots must treat equality-delete files as live while
+    any kept snapshot references them, and reap them once expired."""
+    import os
+
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        _load_snapshots,
+        expire_snapshots,
+        read_table,
+        upsert_rows,
+    )
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame({"doc_id": range(200), "val": range(200)})
+    write_table(spark.createDataFrame(pdf).repartition(2), path,
+                sort_by=["doc_id"])
+    ups = pd.DataFrame({"doc_id": [7], "val": [-1]})
+    upsert_rows(spark, path, spark.createDataFrame(ups), ["doc_id"],
+                strategy="mor")
+    eq_path = _load_snapshots(path)[-1]["delete_files"][0]["path"]
+    # another append so the MoR snapshot is not the only one
+    write_table(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [900], "val": [9]})),
+        path, mode="append",
+    )
+    expire_snapshots(path, keep_last=2)
+    assert os.path.exists(eq_path)  # still referenced by kept snapshots
+    got = read_table(spark, path).toPandas().set_index("doc_id")
+    assert got.loc[7, "val"] == -1
+    # overwrite drops all files + delete entries; expiry then reaps
+    write_table(
+        spark.createDataFrame(pdf), path, mode="overwrite",
+    )
+    expire_snapshots(path, keep_last=1)
+    assert not os.path.exists(eq_path)
+
+
+def test_upsert_composite_key_file_targeting(spark, tmp_path):
+    """A two-column narrow upsert into a sorted table rewrites only the
+    files whose stats box actually contains an update key tuple — the
+    composite-key generalization of the sorted-keyset targeting (the
+    old fallback was a global per-column bounding box)."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import read_table, upsert_rows
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame(
+        {
+            "bucket": [i // 125 for i in range(1000)],
+            "doc_id": [i % 125 for i in range(1000)],
+            "val": list(range(1000)),
+        }
+    )
+    write_table(
+        spark.createDataFrame(pdf).repartition(8), path,
+        sort_by=["bucket", "doc_id"],
+    )
+    # two updates in far-apart buckets: a bounding box over (bucket,
+    # doc_id) would span the whole table; tuple targeting touches only
+    # the two owning files
+    ups = pd.DataFrame(
+        {"bucket": [0, 7], "doc_id": [10, 100], "val": [-1, -2]}
+    )
+    snap = upsert_rows(
+        spark, path, spark.createDataFrame(ups), ["bucket", "doc_id"],
+        strategy="cow",
+    )
+    assert snap["properties"]["rewritten_files"] <= 2
+    assert snap["properties"]["carried_files"] >= 6
+    got = read_table(spark, path).toPandas().set_index(["bucket", "doc_id"])
+    assert got.loc[(0, 10), "val"] == -1
+    assert got.loc[(7, 100), "val"] == -2
+    assert len(got) == 1000
