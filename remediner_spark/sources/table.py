@@ -59,6 +59,57 @@ def _save_snapshots(path: str, snapshots: list[dict]) -> None:
     os.replace(tmp, _snapshots_file(path))
 
 
+def _assign_field_ids(schema_json: dict, start: int = 1) -> tuple[dict, int]:
+    """Give every top-level field a stable ``field_id`` (Iceberg
+    semantics: identity is the id, not the name — rename is metadata,
+    re-adding a dropped name is a NEW column that never resurrects old
+    data). Returns (schema, last_field_id)."""
+    fields = []
+    nxt = start
+    for f in schema_json["fields"]:
+        meta = dict(f.get("metadata") or {})
+        if "field_id" not in meta:
+            meta["field_id"] = nxt
+            nxt += 1
+        fields.append({**f, "metadata": meta})
+    return {**schema_json, "fields": fields}, nxt - 1
+
+
+def _field_id(field: dict):
+    return (field.get("metadata") or {}).get("field_id")
+
+
+def _datatype_from_json(t):
+    """Spark DataType from a schema-json type value (str or dict)."""
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "x", "type": t, "nullable": True, "metadata": {}}
+            ],
+        }
+    ).fields[0].dataType
+
+
+def _stamp_field_mapping(
+    entries: list[dict], schema_json: dict, partition_by: list[str]
+) -> None:
+    """Record, per data file, the physical (name, type) each field_id
+    was WRITTEN under — the read side maps old files through ids after
+    rename/drop/widen. No-op for legacy schemas without ids."""
+    mapping = {
+        str(_field_id(f)): {"name": f["name"], "type": f["type"]}
+        for f in schema_json["fields"]
+        if _field_id(f) is not None and f["name"] not in partition_by
+    }
+    if not mapping:
+        return
+    for e in entries:
+        e["fields"] = mapping
+
+
 def _partition_match(file_entry: dict, partition_filter: dict) -> bool:
     """True when the file's partition values satisfy the filter; a
     filter value may be a scalar (equality) or a list/tuple/set
@@ -286,24 +337,40 @@ def write_table(
             )
         added = [c for c in cur_t if c not in prev_t]
         if added:
-            # evolve: the snapshot records the WIDENED schema (old
-            # columns keep their positions, new ones append in the
-            # incoming frame's order); earlier snapshots keep theirs,
-            # so time travel sees the schema of its day
-            prev_names = [f["name"] for f in prev_schema["fields"]]
+            # evolve: the snapshot records the WIDENED schema — the
+            # PREVIOUS field dicts keep their positions AND field ids,
+            # new columns append with freshly assigned ids; earlier
+            # snapshots keep theirs, so time travel sees the schema of
+            # its day
             by_name = {f["name"]: f for f in cur_schema["fields"]}
+            last_field_id = snapshots[-1].get("last_field_id", 0)
+            new_fields = []
+            for c in added:
+                f = by_name[c]
+                if last_field_id:
+                    last_field_id += 1
+                    f = {
+                        **f,
+                        "metadata": {
+                            **(f.get("metadata") or {}),
+                            "field_id": last_field_id,
+                        },
+                    }
+                new_fields.append(f)
             cur_schema = {
                 **cur_schema,
-                "fields": [by_name[n] for n in prev_names]
-                + [by_name[c] for c in added],
+                "fields": list(prev_schema["fields"]) + new_fields,
             }
         else:
             cur_schema = prev_schema
+            last_field_id = snapshots[-1].get("last_field_id", 0)
         prev_partition = snapshots[-1]["partition_by"]
         if prev_partition != partition_by:
             raise ValueError(
                 f"partition spec mismatch: {prev_partition} != {partition_by}"
             )
+    if not snapshots:
+        cur_schema, last_field_id = _assign_field_ids(df.schema.jsonValue())
     commit_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", f"commit={commit_id}")
     if sort_by:
@@ -317,6 +384,7 @@ def write_table(
     writer.parquet(data_dir)
 
     new_files = _collect_file_entries(data_dir, partition_by)
+    _stamp_field_mapping(new_files, cur_schema, partition_by)
     if mode == "append" and snapshots:
         files = snapshots[-1]["files"] + new_files
     elif mode in ("append", "overwrite"):
@@ -348,7 +416,8 @@ def write_table(
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "mode": mode,
         "commit": commit_id,
-        "schema": cur_schema if snapshots else df.schema.jsonValue(),
+        "schema": cur_schema,
+        "last_field_id": last_field_id,
         "partition_by": partition_by,
         "sort_by": sort_by or [],
         "files": files,
@@ -445,7 +514,7 @@ def _scan_files(
     entry is planned once; untargeted files take the plain scan path.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     full_schema = StructType.fromJson(snap["schema"])
     if not files:
@@ -454,21 +523,73 @@ def _scan_files(
     deletes = (snap.get("delete_files") or []) if apply_deletes else []
     groups: dict[tuple, list[dict]] = {}
     for f in files:
-        key = tuple(
+        dkey = tuple(
             i for i, d in enumerate(deletes) if f["path"] in d["paths"]
         )
-        groups.setdefault(key, []).append(f)
+        sig = json.dumps(f.get("fields"), sort_keys=True)
+        groups.setdefault((dkey, sig), []).append(f)
 
     data_schema = StructType(
         [f for f in full_schema.fields if f.name not in partition_by]
     )
+    cur_fields = [
+        f for f in snap["schema"]["fields"] if f["name"] not in partition_by
+    ]
     types = {f["name"]: f["type"] for f in snap["schema"]["fields"]}
     parts: list[DataFrame] = []
-    for key in sorted(groups):
-        group = groups[key]
-        df = spark.read.schema(data_schema).parquet(
-            *[g["path"] for g in group]
-        )
+    for key, sig in sorted(groups):
+        group = groups[(key, sig)]
+        mapping = group[0].get("fields")
+        paths = [g["path"] for g in group]
+        if mapping is None:
+            # legacy entries (no field-id mapping): the files were
+            # written under the current names; snapshot-schema read
+            # null-fills columns the file predates
+            df = spark.read.schema(data_schema).parquet(*paths)
+        else:
+            # field-id projection (Iceberg semantics): read each field
+            # under the physical (name, type) it was WRITTEN with, then
+            # rename/cast to the current schema — rename follows the
+            # id, drop simply stops projecting, a re-added name has a
+            # NEW id and never resurrects old data, widening casts
+            # (write-time type -> current) per file
+            phys: list[StructField] = []
+            seen = set()
+            exprs = []
+            for f in cur_fields:
+                ent = mapping.get(str(_field_id(f)))
+                if ent is None:
+                    exprs.append(
+                        F.lit(None)
+                        .cast(_datatype_from_json(f["type"]))
+                        .alias(f["name"])
+                    )
+                    continue
+                if ent["name"] not in seen:
+                    seen.add(ent["name"])
+                    phys.append(
+                        StructField(
+                            ent["name"], _datatype_from_json(ent["type"]),
+                            True,
+                        )
+                    )
+                exprs.append(
+                    F.col(ent["name"])
+                    .cast(_datatype_from_json(f["type"]))
+                    .alias(f["name"])
+                )
+            if not phys and mapping:
+                # no current field maps into this file (all dropped):
+                # scan one physical column to preserve row count
+                any_ent = next(iter(mapping.values()))
+                phys.append(
+                    StructField(
+                        any_ent["name"],
+                        _datatype_from_json(any_ent["type"]), True,
+                    )
+                )
+            df = spark.read.schema(StructType(phys)).parquet(*paths)
+            df = df.select(*exprs) if exprs else df
         df = _attach_partition_cols(spark, df, group, partition_by)
         for pcol in partition_by:
             df = df.withColumn(pcol, F.col(pcol).cast(types[pcol]))
@@ -476,7 +597,13 @@ def _scan_files(
         for i in key:
             d = deletes[i]
             if d["type"] == "eq":
-                keys = spark.read.parquet(d["path"]).select(*d["cols"])
+                # file_cols = the delete parquet's physical column
+                # names at commit time; cols = the CURRENT logical
+                # names (rename_column updates them)
+                fcols = d.get("file_cols") or d["cols"]
+                keys = spark.read.parquet(d["path"]).select(
+                    [F.col(fc).alias(c) for fc, c in zip(fcols, d["cols"])]
+                )
                 df = df.join(F.broadcast(keys), d["cols"], "left_anti")
             else:  # pred: range predicate, SQL DELETE null semantics
                 col = d["col"]
@@ -642,6 +769,162 @@ def compact_table(
     compacted = df.repartition(max(len(crowded), 1), *partition_by)
     return write_table(
         compacted, path, mode="replace_partitions", partition_by=partition_by
+    )
+
+
+# ------------------------------------------------------------------
+# Schema evolution DDL (Iceberg semantics: column identity is the
+# FIELD ID, not the name). Each operation commits a METADATA-ONLY
+# snapshot — same data files, new schema — and the read side
+# (_scan_files) projects every file through its recorded
+# field_id -> (physical name, type) mapping, so:
+#   * rename is instant and old files keep serving the column,
+#   * drop stops projecting the field without touching data; a later
+#     re-add of the same NAME gets a new id and never resurrects the
+#     dropped data,
+#   * widening (int->long, float->double) casts each file from its
+#     write-time type,
+#   * time travel to a pre-evolution snapshot sees the schema — and
+#     the column names/types — of its day.
+
+
+def _evolution_base(path: str):
+    snapshots = _load_snapshots(path)
+    if not snapshots:
+        raise FileNotFoundError(f"no table at {path}")
+    snap = snapshots[-1]
+    schema, last = snap["schema"], snap.get("last_field_id", 0)
+    if not last:
+        # legacy table without field ids: assign them now; files on
+        # disk were written under the current names/types, so the
+        # implicit mapping stamped below is exact
+        schema, last = _assign_field_ids(schema)
+    files = [dict(f) for f in snap["files"]]
+    _stamp_field_mapping(
+        [f for f in files if "fields" not in f], schema,
+        snap["partition_by"],
+    )
+    return snapshots, snap, schema, last, files
+
+
+def _commit_evolution(
+    path, snapshots, snap, schema, last, files, sort_by, delete_files,
+    kind: str, detail: dict,
+) -> dict:
+    new_snap = {
+        "snapshot_id": snap["snapshot_id"] + 1,
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "mode": f"evolve-{kind}",
+        "commit": "metadata",
+        "schema": schema,
+        "last_field_id": last,
+        "partition_by": snap["partition_by"],
+        "sort_by": sort_by,
+        "files": files,
+        "delete_files": delete_files,
+        "total_rows": sum(f["rows"] for f in files),
+        "properties": detail,
+    }
+    _save_snapshots(path, snapshots + [new_snap])
+    return new_snap
+
+
+def rename_column(path: str, old: str, new: str) -> dict:
+    """Metadata-only column rename. Existing files keep their physical
+    name; the field id carries the identity. Sort order and pending
+    delete entries follow the rename; partition columns cannot be
+    renamed (their name is baked into directory layout)."""
+    snapshots, snap, schema, last, files = _evolution_base(path)
+    names = [f["name"] for f in schema["fields"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    if old in snap["partition_by"]:
+        raise ValueError("cannot rename a partition column")
+    schema = {
+        **schema,
+        "fields": [
+            {**f, "name": new} if f["name"] == old else f
+            for f in schema["fields"]
+        ],
+    }
+    sort_by = [new if c == old else c for c in snap.get("sort_by") or []]
+    delete_files = []
+    for d in snap.get("delete_files") or []:
+        d = dict(d)
+        if d["type"] == "eq":
+            d["cols"] = [new if c == old else c for c in d["cols"]]
+        elif d.get("col") == old:
+            d["col"] = new
+        delete_files.append(d)
+    return _commit_evolution(
+        path, snapshots, snap, schema, last, files, sort_by, delete_files,
+        "rename", {"renamed": {old: new}},
+    )
+
+
+def drop_column(path: str, name: str) -> dict:
+    """Metadata-only column drop: the field stops being projected; no
+    data file is touched. Raises when the column is load-bearing
+    (partition spec, sort order, or a pending delete entry's key)."""
+    snapshots, snap, schema, last, files = _evolution_base(path)
+    names = [f["name"] for f in schema["fields"]]
+    if name not in names:
+        raise ValueError(f"no column {name!r}")
+    if name in snap["partition_by"]:
+        raise ValueError("cannot drop a partition column")
+    if name in (snap.get("sort_by") or []):
+        raise ValueError(
+            f"{name!r} is in the table sort order — rewrite the sort "
+            "order (compact) before dropping it"
+        )
+    for d in snap.get("delete_files") or []:
+        if name in (d.get("cols") or []) or d.get("col") == name:
+            raise ValueError(
+                f"{name!r} is referenced by a pending delete entry — "
+                "compact_table first to fold deletes"
+            )
+    fields = [f for f in schema["fields"] if f["name"] != name]
+    if not fields:
+        raise ValueError("cannot drop the last column")
+    return _commit_evolution(
+        path, snapshots, snap, {**schema, "fields": fields}, last, files,
+        snap.get("sort_by") or [], list(snap.get("delete_files") or []),
+        "drop", {"dropped": name},
+    )
+
+
+_WIDENINGS = {("integer", "long"), ("float", "double")}
+
+
+def widen_column(path: str, name: str, new_type: str) -> dict:
+    """Metadata-only safe type promotion (Iceberg's allowed set:
+    int->long, float->double). Old files keep their narrow physical
+    type and are cast at read time via the field-id mapping."""
+    snapshots, snap, schema, last, files = _evolution_base(path)
+    by_name = {f["name"]: f for f in schema["fields"]}
+    if name not in by_name:
+        raise ValueError(f"no column {name!r}")
+    cur_type = by_name[name]["type"]
+    if cur_type == new_type:
+        return snapshots[-1]
+    if (cur_type, new_type) not in _WIDENINGS:
+        raise ValueError(
+            f"unsafe type change {cur_type} -> {new_type}; allowed: "
+            f"{sorted(_WIDENINGS)}"
+        )
+    schema = {
+        **schema,
+        "fields": [
+            {**f, "type": new_type} if f["name"] == name else f
+            for f in schema["fields"]
+        ],
+    }
+    return _commit_evolution(
+        path, snapshots, snap, schema, last, files,
+        snap.get("sort_by") or [], list(snap.get("delete_files") or []),
+        "widen", {"widened": {name: [cur_type, new_type]}},
     )
 
 
@@ -832,6 +1115,7 @@ def upsert_rows(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(data_dir)
     new_files = _collect_file_entries(data_dir, partition_by)
+    _stamp_field_mapping(new_files, snap["schema"], partition_by)
 
     if strategy == "mor" and touched:
         files = snap["files"] + new_files
@@ -846,6 +1130,7 @@ def upsert_rows(
                 "type": "eq",
                 "path": eq_path,
                 "cols": list(key),
+                "file_cols": list(key),
                 "paths": [f["path"] for f in touched],
             }
         )
@@ -867,6 +1152,7 @@ def upsert_rows(
         "mode": mode,
         "commit": commit_id,
         "schema": snap["schema"],
+        "last_field_id": snap.get("last_field_id", 0),
         "partition_by": partition_by,
         "sort_by": sort_by,
         "files": files,
@@ -996,6 +1282,7 @@ def delete_range(
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
         new_files = _collect_file_entries(data_dir, partition_by)
+        _stamp_field_mapping(new_files, snap["schema"], partition_by)
 
     if strategy == "mor":
         # merge-on-read: boundary files stay in place; the commit is a
@@ -1026,6 +1313,7 @@ def delete_range(
         "mode": "delete" if strategy == "cow" else "delete-mor",
         "commit": commit_id,
         "schema": snap["schema"],
+        "last_field_id": snap.get("last_field_id", 0),
         "partition_by": partition_by,
         "sort_by": snap.get("sort_by") or [],
         "files": files,

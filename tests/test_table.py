@@ -885,3 +885,168 @@ def test_upsert_composite_key_file_targeting(spark, tmp_path):
     assert got.loc[(0, 10), "val"] == -1
     assert got.loc[(7, 100), "val"] == -2
     assert len(got) == 1000
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """Field-id rename: metadata-only commit, old files keep serving
+    the column under the new name, appends use the new name, time
+    travel to the pre-rename snapshot sees the old name."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        _load_snapshots,
+        read_table,
+        rename_column,
+    )
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame({"doc_id": range(100), "val": range(100)})
+    write_table(spark.createDataFrame(pdf).repartition(2), path,
+                sort_by=["doc_id"])
+    pre_files = {f["path"] for f in _load_snapshots(path)[-1]["files"]}
+
+    snap = rename_column(path, "val", "score")
+    assert snap["mode"] == "evolve-rename"
+    assert {f["path"] for f in snap["files"]} == pre_files  # no rewrite
+    got = read_table(spark, path).toPandas()
+    assert "score" in got.columns and "val" not in got.columns
+    assert got.sort_values("doc_id")["score"].tolist() == list(range(100))
+    # sort order followed the rename? no - sort was on doc_id; appends:
+    write_table(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [200], "score": [999]})
+        ),
+        path, mode="append",
+    )
+    got2 = read_table(spark, path).toPandas().set_index("doc_id")
+    assert got2.loc[200, "score"] == 999 and len(got2) == 101
+    # time travel: pre-rename schema of its day
+    old = read_table(spark, path, snapshot_id=1).toPandas()
+    assert "val" in old.columns and "score" not in old.columns
+
+
+def test_drop_column_and_readd_never_resurrects(spark, tmp_path):
+    """Dropping a column is metadata-only; re-adding the same NAME is a
+    NEW field id, so old files read null for it (Iceberg id semantics);
+    time travel pre-drop still sees the original values."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        drop_column,
+        read_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame({"doc_id": range(50), "secret": range(50)})
+    write_table(spark.createDataFrame(pdf).repartition(2), path)
+    drop_column(path, "secret")
+    got = read_table(spark, path).toPandas()
+    assert list(got.columns) == ["doc_id"]
+    # re-add the same name via append evolution
+    readd = pd.DataFrame({"doc_id": [100], "secret": [-1]})
+    write_table(spark.createDataFrame(readd), path, mode="append")
+    got2 = read_table(spark, path).toPandas().set_index("doc_id")
+    assert got2.loc[100, "secret"] == -1
+    # old rows must NOT resurrect the dropped data
+    assert got2.loc[range(50), "secret"].isna().all()
+    # time travel pre-drop
+    old = read_table(spark, path, snapshot_id=1).toPandas()
+    assert old.set_index("doc_id").loc[10, "secret"] == 10
+
+
+def test_widen_column_int_to_long(spark, tmp_path):
+    """int->long widening: metadata-only; old int files cast at read;
+    new long appends mix transparently; unsafe retype still raises."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        read_table,
+        widen_column,
+    )
+
+    path = str(tmp_path / "tbl")
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(20), "n": range(20)})
+    ).selectExpr("doc_id", "CAST(n AS INT) AS n")
+    write_table(sdf, path)
+    widen_column(path, "n", "long")
+    got = read_table(spark, path)
+    assert dict(got.dtypes)["n"] == "bigint"
+    big = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [99], "n": [2**40]})
+    )
+    write_table(big, path, mode="append")
+    vals = read_table(spark, path).toPandas().set_index("doc_id")["n"]
+    assert vals.loc[99] == 2**40 and vals.loc[5] == 5
+    # time travel pre-widening keeps the int schema
+    assert dict(read_table(spark, path, snapshot_id=1).dtypes)["n"] == "int"
+    with pytest.raises(ValueError, match="unsafe type change"):
+        widen_column(path, "doc_id", "string")
+
+
+def test_evolution_guards(spark, tmp_path):
+    """Partition columns can't rename/drop; sort-order columns can't
+    drop; delete-entry keys can't drop before folding."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        drop_column,
+        rename_column,
+        upsert_rows,
+    )
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame(
+        {"doc_id": range(100),
+         "lang": ["en" if i % 2 else "de" for i in range(100)],
+         "val": list(range(100))}
+    )
+    write_table(spark.createDataFrame(pdf), path, partition_by=["lang"])
+    with pytest.raises(ValueError, match="partition column"):
+        rename_column(path, "lang", "language")
+    with pytest.raises(ValueError, match="partition column"):
+        drop_column(path, "lang")
+
+    path2 = str(tmp_path / "tbl2")
+    write_table(
+        spark.createDataFrame(pdf.drop(columns=["lang"])), path2,
+        sort_by=["doc_id"],
+    )
+    with pytest.raises(ValueError, match="sort order"):
+        drop_column(path2, "doc_id")
+    # delete-entry guard: key the MoR delete on a NON-sort column
+    path3 = str(tmp_path / "tbl3")
+    write_table(
+        spark.createDataFrame(pdf.drop(columns=["lang"])).repartition(2),
+        path3,
+    )
+    ups = pd.DataFrame({"doc_id": [-1], "val": [5]})
+    upsert_rows(spark, path3, spark.createDataFrame(ups), ["val"],
+                strategy="mor")
+    with pytest.raises(ValueError, match="delete entry"):
+        drop_column(path3, "val")
+
+
+def test_rename_with_pending_mor_delete(spark, tmp_path):
+    """An equality-delete committed before a rename must keep applying
+    afterwards: the entry's logical cols follow the rename while the
+    delete parquet keeps its physical column names."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        read_table,
+        rename_column,
+        upsert_rows,
+    )
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame({"doc_id": range(200), "val": range(200)})
+    write_table(spark.createDataFrame(pdf).repartition(2), path,
+                sort_by=["doc_id"])
+    ups = pd.DataFrame({"doc_id": [7], "val": [-1]})
+    upsert_rows(spark, path, spark.createDataFrame(ups), ["doc_id"],
+                strategy="mor")
+    rename_column(path, "doc_id", "page_id")
+    got = read_table(spark, path).toPandas().set_index("page_id")
+    assert len(got) == 200  # old row 7 deleted, update inserted
+    assert got.loc[7, "val"] == -1
