@@ -226,6 +226,52 @@ def main() -> int:
                 legs = 1
         release_caches(spark)
 
+    # --- streaming micro-batch pipeline wall ---
+    # ingest (file-source stream, 8 files/trigger) -> fused extraction
+    # -> per-batch edge MERGE into the Iceberg-style table, drained
+    # with Trigger.AvailableNow: 24 staged corpus files = 3 micro-
+    # batches end-to-end, including snapshot commits + replay markers.
+    stream_sec = None
+    if not os.environ.get("SPARK_GRAFT_KG_ONLY"):
+        import glob
+        import shutil
+        import tempfile
+
+        from remediner_spark.streaming import stream_edge_weights
+
+        stream_src = corpus_dir.rstrip("/") + "_stream24"
+        if not os.path.exists(os.path.join(stream_src, "_STAGED")):
+            os.makedirs(stream_src, exist_ok=True)
+            for f in sorted(glob.glob(os.path.join(corpus_dir, "part-*")))[
+                :24
+            ]:
+                shutil.copy(f, stream_src)
+            open(os.path.join(stream_src, "_STAGED"), "w").close()
+
+        def stream_run() -> None:
+            work = tempfile.mkdtemp(prefix="bench_stream_")
+            try:
+                q = stream_edge_weights(
+                    spark, stream_src, os.path.join(work, "edges"),
+                    os.path.join(work, "ckpt"), tagger_bc,
+                )
+                q.awaitTermination()  # availableNow drains and stops
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+
+        stream_run()  # warmup
+        release_caches(spark)
+        stream_sec = float("inf")
+        legs = 2
+        while legs:
+            t0 = time.time()
+            stream_run()
+            stream_sec = min(stream_sec, time.time() - t0)
+            release_caches(spark)
+            legs -= 1
+            if not legs and guard.corrupted("stream_edge_merge"):
+                legs = 1
+
     # --- per-query timings over the provided tables ---
     # (skipped in scaling-curve legs: SPARK_GRAFT_KG_ONLY=1)
     q_times: dict[str, float] = {}
@@ -267,6 +313,8 @@ def main() -> int:
     if graph_sec is not None:
         q_times["kg_graph_pipeline"] = graph_sec
         q_times["kg_graph_pipeline_warm"] = graph_warm_sec
+    if stream_sec is not None:
+        q_times["stream_edge_merge"] = round(stream_sec, 3)
 
     result = {
         "metric": "triples_per_sec",
