@@ -77,6 +77,27 @@ def minhash_signature(shingles: Column, k: int) -> list[Column]:
     return sigs
 
 
+def minhash_from_base(base: Column, k: int) -> list[Column]:
+    """k min-hash columns over a PRE-HASHED shingle array (each element
+    already ``md5_hash32 % p``). Arithmetically identical to
+    :func:`minhash_signature` — ((h%p)*a+b)%p with h%p factored out —
+    but the md5 runs ONCE per shingle instead of k times, which both
+    cuts execution work and shrinks the codegen'd projection ~k-fold
+    (the k-way md5 expression tree dominated the vocabulary-grain
+    linking wall: janino compile + 24x hashing on a 200-row input)."""
+    def affine(a: int, b: int):
+        return lambda x: (x * a + b) % _MERSENNE
+
+    sigs = []
+    for i in range(k):
+        sigs.append(
+            F.array_min(
+                F.transform(base, affine(_HASH_A[i], _HASH_B[i]))
+            ).alias(f"mh_{i}")
+        )
+    return sigs
+
+
 def band_keys(df: DataFrame, bands: int, rows: int) -> DataFrame:
     """Add (band_idx, band_key) rows: one output row per band — an
     explode over a tiny literal array, keeping the join equi-join."""
@@ -98,10 +119,23 @@ def band_keys(df: DataFrame, bands: int, rows: int) -> DataFrame:
 
 
 def _with_signature(df: DataFrame, surface_col: str, k: int) -> DataFrame:
+    from .textstats import md5_hash32_expr
+
     sh = char_shingles(F.col(surface_col))
-    return df.withColumn("shingles", sh).select(
-        "*", *minhash_signature(F.col("shingles"), k)
+    # base-hash the shingle array ONCE in its own projection; the k
+    # LCG minhashes read the hashed array. CollapseProject keeps the
+    # split (the base expression is non-cheap and used k times), so
+    # codegen compiles one md5 pass + k tiny affine folds instead of a
+    # k-way md5 tree — same values bit-for-bit (DuckDB mirrors pinned)
+    df = df.withColumn("shingles", sh).withColumn(
+        "_mh_base",
+        F.transform(
+            F.col("shingles"), lambda s: md5_hash32_expr(s) % _MERSENNE
+        ),
     )
+    return df.select(
+        "*", *minhash_from_base(F.col("_mh_base"), k)
+    ).drop("_mh_base")
 
 
 def exact_dict_link(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
