@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         olap,
         relational,
         similarity,
+        tableops,
         textstats,
         traindata,
     )
@@ -102,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(multimodal.QUERIES)
     out.update(traindata.QUERIES)
     out.update(olap.QUERIES)
+    out.update(tableops.QUERIES)
     out.update(kg_gate.QUERIES)
     # every callable ships the package to executors first (cwd-proof)
     return {name: _wrap(fn) for name, fn in out.items()}
@@ -117,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         olap,
         relational,
         similarity,
+        tableops,
         textstats,
         traindata,
     )
@@ -135,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(multimodal.ORACLES)
     out.update(traindata.ORACLES)
     out.update(olap.ORACLES)
+    out.update(tableops.ORACLES)
     # end-to-end KG pipeline over the materialized corpus fixture: the
     # oracle reads the pandas-gold triples parquet and re-derives
     # linking/nodes/edges relationally in DuckDB (plans/kg_gate.py)
