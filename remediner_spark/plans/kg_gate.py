@@ -261,12 +261,37 @@ def q_kg_inverse_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_inverse_triples(q_kg_triples(spark, ""))
 
 
+def q_kg_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG analytics over the materialized graph: out-degree histogram
+    of DRUG nodes (how many distinct effects each drug connects to,
+    how many drugs sit at each degree, and the mention mass there) —
+    the hub-structure profile a graph consumer reads before deciding
+    skew strategy. Two key-sized aggregations over the edge table."""
+    from ..operators.graph import build_graph
+
+    _, dictionary = _pages_and_dict(spark)
+    _, edges = build_graph(q_kg_triples(spark, ""), dictionary)
+    deg = (
+        edges.filter(F.col("pred") == "CAUSES")
+        .groupBy("subj_id")
+        .agg(
+            F.count(F.lit(1)).alias("degree"),
+            F.sum("weight").alias("_w"),
+        )
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_drugs"),
+        F.sum("_w").cast("long").alias("total_weight"),
+    )
+
+
 QUERIES = {
     "kg_pipeline_triples": q_kg_triples,
     "kg_inverse_triples": q_kg_inverse_triples,
     "kg_linked_mentions": q_kg_linked_mentions,
     "kg_nodes": q_kg_nodes,
     "kg_edges": q_kg_edges,
+    "kg_degree_distribution": q_kg_degree_distribution,
     "kg_final_model_triples": q_kg_final_model,
     "s1_pipe_scan": q_s1_pipe_scan,
 }
@@ -438,4 +463,24 @@ JOIN surf_map em
   ON em.surface_norm = g.obj AND em.entity_type = 'EFFECT'
 WHERE g.pred = 'CAUSES'
 GROUP BY 1, 2, 3""",
+        "kg_degree_distribution": f"""
+WITH {ctes},
+surf_map AS (SELECT DISTINCT surface_norm, entity_type, entity_id FROM ids),
+e AS (
+  SELECT dm.entity_id AS subj_id, em.entity_id AS obj_id,
+         count(*) AS weight
+  FROM g
+  JOIN surf_map dm
+    ON dm.surface_norm = g.subj AND dm.entity_type = 'DRUG'
+  JOIN surf_map em
+    ON em.surface_norm = g.obj AND em.entity_type = 'EFFECT'
+  WHERE g.pred = 'CAUSES'
+  GROUP BY 1, 2),
+deg AS (
+  SELECT subj_id, count(*) AS degree, sum(weight) AS w
+  FROM e GROUP BY subj_id)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_drugs,
+       CAST(sum(w) AS BIGINT) AS total_weight
+FROM deg GROUP BY degree""",
     }

@@ -29,6 +29,8 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         SPARK_GRAFT_CPUS=str(cores),
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_TILE=SCALING_TILE,
+        # headline corpus == scaling corpus (no 2x-tile doubling here)
+        SPARK_GRAFT_TILE_HEADLINE=SCALING_TILE,
         SPARK_GRAFT_KG_ONLY="1",
         SPARK_GRAFT_TIMED_RUNS="3",
     )
