@@ -97,11 +97,23 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", _shingles_expr(F.col("text")).alias("sh")
+    ).select(
+        "doc_id",
+        # n_sh counts the DISTINCT raw shingles (the Jaccard
+        # denominator) BEFORE hashing
+        F.size("sh").alias("n_sh"),
+        # both downstream shuffles (df pre-pass, postings collect) key
+        # on the shingle — hash the ~40-byte 5-gram strings to 60-bit
+        # md5 prefixes so the exchanges carry 8-byte longs (the
+        # span-coverage shape, dedup.py:474). The md5 prefix is the
+        # cross-engine base hash, so the DuckDB oracle applies the
+        # SAME hash and even collisions agree bit-for-bit.
+        F.transform("sh", md5_hash60_expr).alias("sh"),
     )
     # three consumers below (sizes, df pre-pass, postings) would each
     # recompute the shingle arrays from the scan; persist so the
-    # split+slice+concat work runs once (measured 2.4x the query wall
-    # uncached at sf0.1). MEMORY_AND_DISK: at 100 TB this spills
+    # split+slice+concat+hash work runs once (measured 2.4x the query
+    # wall uncached at sf0.1). MEMORY_AND_DISK: at 100 TB this spills
     # rather than evicts — the production-scale form of the same plan
     # is a checkpoint of (doc_id, sh) to parquet (plans/checkpoint.py).
     # The cache is not unpersisted (the return is lazy; the action
@@ -109,7 +121,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build_graph's branch caches: the block is table-sized, spillable,
     # and reused by any later query sharing the shingle subtree.
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    sizes = docs.select("doc_id", "n_sh")
     inv = docs.select("doc_id", F.explode("sh").alias("shingle"))
     # doc-frequency cap FIRST, as a count() agg: count keeps O(1) state
     # per key (map-side partial combine), so a head stop-shingle in
@@ -185,7 +197,8 @@ def sql_jaccard_ctes() -> str:
     connected-components oracle (operators/components.py)."""
     sh = _shingles_sql("text")
     return f"""s AS (SELECT doc_id, {sh} AS sh FROM documents),
-inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+inv AS (SELECT doc_id, {md5_hash60_sql('shingle')} AS shingle
+        FROM (SELECT doc_id, unnest(sh) AS shingle FROM s)),
 rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= {MAX_DF}),
 inv2 AS (SELECT inv.* FROM inv JOIN rare USING (shingle)),
 pairs AS (

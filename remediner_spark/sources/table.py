@@ -223,17 +223,45 @@ def _cmp_stats(a, b):
     return None
 
 
-def _stats_match(file_entry: dict, stats_filter: dict) -> bool:
+def _physical_col(file_entry: dict, col: str, schema_json: dict | None):
+    """The write-time physical name of CURRENT-schema column ``col``
+    in this file, resolved through the field-id mapping (after a
+    rename the footer stats stay keyed by the old name). Returns None
+    when the field does not exist in the file (added/dropped);
+    falls back to ``col`` for legacy entries/schemas."""
+    mapping = file_entry.get("fields")
+    if not mapping or not schema_json:
+        return col
+    for f in schema_json["fields"]:
+        if f["name"] == col:
+            ent = mapping.get(str(_field_id(f)))
+            return ent["name"] if ent is not None else None
+    return col
+
+
+def _stats_match(
+    file_entry: dict, stats_filter: dict, schema_json: dict | None = None
+) -> bool:
     """True unless some column's recorded [min, max] is PROVABLY
     disjoint from the requested [lo, hi] (None bound = unbounded).
     Files without stats for a column, or whose stored representation
     is incomparable with the bound's, are kept — skipping is an
-    optimization, never a correctness gate."""
+    optimization, never a correctness gate. With ``schema_json``,
+    filter columns resolve to each file's physical name through the
+    field-id mapping, so skipping keeps biting after a rename."""
     stats = file_entry.get("stats") or {}
     for col, (lo, hi) in stats_filter.items():
-        if col not in stats:
+        pcol = _physical_col(file_entry, col, schema_json)
+        if pcol is None:
+            # the field does not exist in this file (pre-add or
+            # dropped): every row reads NULL, and any bounded range
+            # predicate excludes NULL rows — prune the whole file
+            if lo is not None or hi is not None:
+                return False
             continue
-        fmin, fmax = stats[col]
+        if pcol not in stats:
+            continue
+        fmin, fmax = stats[pcol]
         lo_c, hi_c = _stats_value(lo), _stats_value(hi)
         if lo_c is not None:
             c = _cmp_stats(fmax, lo_c)
@@ -655,7 +683,10 @@ def read_table(
     if partition_filter:
         files = [f for f in files if _partition_match(f, partition_filter)]
     if stats_filter:
-        files = [f for f in files if _stats_match(f, stats_filter)]
+        files = [
+            f for f in files
+            if _stats_match(f, stats_filter, snap["schema"])
+        ]
     # snapshot-schema read (old files null-fill evolved columns),
     # partition columns re-attached from the manifest, merge-on-read
     # delete entries applied — all in the shared scan planner
@@ -1027,7 +1058,10 @@ def upsert_rows(
 
         def is_touched(f: dict) -> bool:
             stats = f.get("stats") or {}
-            sts = [stats.get(k) for k in key]
+            sts = [
+                stats.get(_physical_col(f, k, snap["schema"]) or "")
+                for k in key
+            ]
             try:
                 if sts[0] is None:
                     span = range(len(keyset))
@@ -1060,7 +1094,7 @@ def upsert_rows(
         }
 
         def is_touched(f: dict) -> bool:
-            return _stats_match(f, key_filter)
+            return _stats_match(f, key_filter, snap["schema"])
 
     touched = [f for f in snap["files"] if is_touched(f)]
     carried = [f for f in snap["files"] if not is_touched(f)]
@@ -1229,7 +1263,8 @@ def delete_range(
 
     dropped, carried, rewrite = [], [], []
     for f in snap["files"]:
-        st = (f.get("stats") or {}).get(col)
+        pcol = _physical_col(f, col, snap["schema"])
+        st = (f.get("stats") or {}).get(pcol) if pcol else None
         if not st:
             rewrite.append(f)
             continue
@@ -1246,7 +1281,7 @@ def delete_range(
         disjoint = (c_max_lo is not None and c_max_lo < 0) or (
             c_min_hi is not None and c_min_hi > 0
         )
-        nullfree = col in (f.get("nullfree") or [])
+        nullfree = pcol in (f.get("nullfree") or [])
         if inside_lo and inside_hi and nullfree:
             dropped.append(f)
         elif disjoint:
@@ -1395,7 +1430,11 @@ def stats_pruned_count(
     ][0]
     total = len(snap["files"])
     selected = len(
-        [f for f in snap["files"] if _stats_match(f, stats_filter)]
+        [
+            f
+            for f in snap["files"]
+            if _stats_match(f, stats_filter, snap["schema"])
+        ]
     )
     return selected, total
 

@@ -1050,3 +1050,46 @@ def test_rename_with_pending_mor_delete(spark, tmp_path):
     got = read_table(spark, path).toPandas().set_index("page_id")
     assert len(got) == 200  # old row 7 deleted, update inserted
     assert got.loc[7, "val"] == -1
+
+
+def test_stats_skipping_survives_rename(spark, tmp_path):
+    """Footer stats stay keyed by the write-time physical name; after
+    a rename the filter column must resolve through the field-id
+    mapping so data skipping keeps pruning (a conservative fallback
+    would silently read everything forever)."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        read_table,
+        rename_column,
+        stats_pruned_count,
+    )
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame({"doc_id": range(1000), "val": range(1000)})
+    write_table(spark.createDataFrame(pdf).repartition(8), path,
+                sort_by=["doc_id"])
+    rename_column(path, "doc_id", "page_id")
+    selected, total = stats_pruned_count(path, {"page_id": (900, None)})
+    assert total == 8 and selected <= 2  # pruning still bites
+    got = read_table(spark, path, stats_filter={"page_id": (900, None)})
+    assert got.count() == 100
+
+
+def test_stats_filter_prunes_pre_add_files(spark, tmp_path):
+    """Files that predate an added column hold only NULLs for it, and
+    a bounded range predicate excludes NULL rows — those files prune
+    entirely at the manifest level."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import read_table, stats_pruned_count
+
+    path = str(tmp_path / "tbl")
+    old = pd.DataFrame({"doc_id": range(100)})
+    write_table(spark.createDataFrame(old).repartition(4), path)
+    new = pd.DataFrame({"doc_id": [200, 201], "score": [5, 7]})
+    write_table(spark.createDataFrame(new), path, mode="append")
+    selected, total = stats_pruned_count(path, {"score": (0, None)})
+    assert selected < total
+    got = read_table(spark, path, stats_filter={"score": (0, None)}).toPandas()
+    assert sorted(got["doc_id"]) == [200, 201]
