@@ -222,7 +222,6 @@ def link_surfaces(
             F.col("a.canonical_id").alias("canonical_id"),
             F.col("a.canonical_name").alias("canonical_name"),
         )
-        .dropDuplicates(["surface_norm", "entity_type", "alias_norm"])
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("s_r", "s_a"))
@@ -230,20 +229,31 @@ def link_surfaces(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
+    # ONE shuffle picks the winner. The reference semantics are
+    # "ORDER BY jaccard DESC, alias_norm, take first" (the DuckDB
+    # oracle's row_number mirror); min over struct(-jaccard,
+    # alias_norm, ...) selects exactly that row, and the band join's
+    # per-band duplicate candidates are harmless — duplicates of a
+    # (surface, alias) pair carry identical jaccard/canonical fields,
+    # so the min is unchanged. This replaces the former
+    # dropDuplicates + window pair (two vocabulary-grain shuffles +
+    # a sort) with a single partial-aggregated exchange.
     best = (
-        cand.withColumn(
-            "rank",
-            F.row_number().over(
-                Window.partitionBy("surface_norm", "entity_type").orderBy(
-                    F.col("jaccard").desc(), F.col("alias_norm")
+        cand.groupBy("surface_norm", "entity_type")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("jaccard")).alias("_nj"),
+                    F.col("alias_norm").alias("_a"),
+                    F.col("canonical_id").alias("_id"),
+                    F.col("canonical_name").alias("_name"),
                 )
-            ),
+            ).alias("_w")
         )
-        .filter(F.col("rank") == 1)
         .select(
             "surface_norm", "entity_type",
-            F.col("canonical_id").alias("lsh_id"),
-            F.col("canonical_name").alias("lsh_name"),
+            F.col("_w._id").alias("lsh_id"),
+            F.col("_w._name").alias("lsh_name"),
         )
     )
     # exact output + the (tiny) best-LSH table + a CASE. Dict hits keep
