@@ -1093,3 +1093,63 @@ def test_stats_filter_prunes_pre_add_files(spark, tmp_path):
     assert selected < total
     got = read_table(spark, path, stats_filter={"score": (0, None)}).toPandas()
     assert sorted(got["doc_id"]) == [200, 201]
+
+
+def test_upsert_after_widen_and_rename(spark, tmp_path):
+    """MERGE through evolution: after int->long widening and a key
+    rename, upserts keyed on the new name still target files through
+    the field-id mapping and merge correctly in both strategies."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        read_table,
+        rename_column,
+        upsert_rows,
+        widen_column,
+    )
+
+    for strat in ("cow", "mor"):
+        path = str(tmp_path / strat)
+        base = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(400), "n": range(400)})
+        ).selectExpr("doc_id", "CAST(n AS INT) AS n")
+        write_table(base.repartition(4), path, sort_by=["doc_id"])
+        widen_column(path, "n", "long")
+        rename_column(path, "doc_id", "page_id")
+        ups = spark.createDataFrame(
+            pd.DataFrame({"page_id": [5], "n": [2**40]})
+        )
+        snap = upsert_rows(spark, path, ups, ["page_id"], strategy=strat)
+        if strat == "cow":
+            # field-id stats targeting still prunes: only the file
+            # holding page_id=5 rewrites
+            assert snap["properties"]["rewritten_files"] == 1
+            assert snap["properties"]["carried_files"] == 3
+        got = read_table(spark, path).toPandas().set_index("page_id")
+        assert len(got) == 400
+        assert got.loc[5, "n"] == 2**40
+        assert got.loc[6, "n"] == 6
+
+
+def test_delete_range_after_rename(spark, tmp_path):
+    """Range DELETE on a renamed column: classification resolves file
+    stats through the field-id mapping, so metadata-only drops still
+    happen and the result equals the relational recomputation."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        delete_range,
+        read_table,
+        rename_column,
+    )
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame({"doc_id": range(1000), "val": range(1000)})
+    write_table(spark.createDataFrame(pdf).repartition(8), path,
+                sort_by=["doc_id"])
+    rename_column(path, "doc_id", "page_id")
+    snap = delete_range(spark, path, "page_id", 200, 700)
+    assert snap["properties"]["dropped_files"] >= 2  # stats still map
+    got = read_table(spark, path).toPandas()
+    assert len(got) == 1000 - 501
+    assert got["page_id"].between(200, 700).sum() == 0
