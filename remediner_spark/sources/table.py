@@ -1419,6 +1419,115 @@ def expire_snapshots(path: str, keep_last: int = 2) -> dict:
     return {"removed_snapshots": len(dropped), "deleted_files": len(dead)}
 
 
+def remove_orphan_files(
+    path: str, min_age_s: float = 3600.0, dry_run: bool = False
+) -> dict:
+    """Iceberg ``remove_orphan_files``: delete data/delete files under
+    the table directory that NO snapshot references — the leftovers of
+    crashed writes (a writer dies after ``writer.parquet`` but before
+    the manifest commit) and of expiry crashes (manifest committed
+    first by design, files orphaned on purpose). Only files older than
+    ``min_age_s`` are touched: an IN-FLIGHT commit has already written
+    its files but not yet its manifest, and reaping them would corrupt
+    the commit — age is the standard Iceberg guard for exactly this
+    race. Returns {"orphans": [...], "deleted": n}."""
+    snapshots = _load_snapshots(path)
+    if not snapshots:
+        raise FileNotFoundError(f"no table at {path}")
+    live: set[str] = set()
+    for s in snapshots:
+        live |= {f["path"] for f in s["files"]}
+        live |= {
+            d["path"] for d in s.get("delete_files") or [] if "path" in d
+        }
+    now = time.time()
+    orphans: list[str] = []
+    for sub in ("data", "deletes"):
+        root_dir = os.path.join(path, sub)
+        for root, _dirs, names in os.walk(root_dir):
+            for name in names:
+                fpath = os.path.join(root, name)
+                if fpath in live:
+                    continue
+                # Spark job markers (_SUCCESS etc.) ride along with
+                # their commit dir; only age-expired files qualify
+                try:
+                    if now - os.path.getmtime(fpath) < min_age_s:
+                        continue
+                except OSError:
+                    continue
+                orphans.append(fpath)
+    deleted = 0
+    if not dry_run:
+        for fpath in sorted(orphans):
+            try:
+                os.remove(fpath)
+                deleted += 1
+            except OSError:
+                pass
+        # sweep now-empty commit directories
+        for sub in ("data", "deletes"):
+            for root, dirs, names in os.walk(
+                os.path.join(path, sub), topdown=False
+            ):
+                if not dirs and not names:
+                    try:
+                        os.rmdir(root)
+                    except OSError:
+                        pass
+    return {"orphans": sorted(orphans), "deleted": deleted}
+
+
+def table_files(spark: SparkSession, path: str) -> DataFrame:
+    """Iceberg ``.files`` metadata table: one row per live data file of
+    the CURRENT snapshot (path, partition json, rows, per-column
+    min/max stats json, nullfree columns) — planning introspection
+    without touching any data file."""
+    snapshots = _load_snapshots(path)
+    if not snapshots:
+        raise FileNotFoundError(f"no table at {path}")
+    rows = [
+        (
+            f["path"],
+            json.dumps(f.get("partition") or {}, sort_keys=True),
+            f["rows"],
+            json.dumps(f.get("stats") or {}, sort_keys=True),
+            list(f.get("nullfree") or []),
+        )
+        for f in snapshots[-1]["files"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "file_path string, partition string, record_count long, "
+        "stats string, nullfree array<string>",
+    )
+
+
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """Iceberg ``.history``/``.snapshots`` metadata table: one row per
+    snapshot (id, timestamp, operation, file/row counts, delete-entry
+    count) from the manifest only."""
+    snapshots = _load_snapshots(path)
+    if not snapshots:
+        raise FileNotFoundError(f"no table at {path}")
+    rows = [
+        (
+            s["snapshot_id"],
+            s["ts"],
+            s["mode"],
+            len(s["files"]),
+            s["total_rows"],
+            len(s.get("delete_files") or []),
+        )
+        for s in snapshots
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, committed_at string, operation string, "
+        "file_count long, total_rows long, delete_file_count long",
+    )
+
+
 def stats_pruned_count(
     path: str, stats_filter: dict, snapshot_id: int | None = None
 ) -> tuple[int, int]:

@@ -1153,3 +1153,76 @@ def test_delete_range_after_rename(spark, tmp_path):
     got = read_table(spark, path).toPandas()
     assert len(got) == 1000 - 501
     assert got["page_id"].between(200, 700).sum() == 0
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Orphan cleanup: a crashed write's unreferenced data files are
+    reaped once past the age guard; young files (possible in-flight
+    commits) and every referenced file survive; dry_run only reports."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        read_table,
+        remove_orphan_files,
+        upsert_rows,
+    )
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame({"doc_id": range(100), "val": range(100)})
+    write_table(spark.createDataFrame(pdf).repartition(2), path,
+                sort_by=["doc_id"])
+    upsert_rows(
+        spark, path,
+        spark.createDataFrame(pd.DataFrame({"doc_id": [3], "val": [-1]})),
+        ["doc_id"], strategy="mor",
+    )
+    # simulate a crashed write: files on disk, no manifest entry
+    crash_dir = os.path.join(path, "data", "commit=deadbeef")
+    os.makedirs(crash_dir)
+    orphan = os.path.join(crash_dir, "part-00000-crash.parquet")
+    open(orphan, "wb").write(b"not a real parquet")
+    old = _time.time() - 7200
+    os.utime(orphan, (old, old))
+    young = os.path.join(crash_dir, "part-00001-inflight.parquet")
+    open(young, "wb").write(b"in-flight commit")
+
+    rep = remove_orphan_files(path, dry_run=True)
+    assert rep["orphans"] == [orphan] and rep["deleted"] == 0
+    assert os.path.exists(orphan)
+    rep2 = remove_orphan_files(path)
+    assert rep2["deleted"] == 1
+    assert not os.path.exists(orphan)
+    assert os.path.exists(young)  # age guard protects in-flight commits
+    # table fully intact, MoR delete file included
+    got = read_table(spark, path).toPandas().set_index("doc_id")
+    assert len(got) == 100 and got.loc[3, "val"] == -1
+
+
+def test_metadata_tables(spark, tmp_path):
+    """Iceberg-style .files/.history introspection from the manifest."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        table_files,
+        table_history,
+        upsert_rows,
+    )
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame({"doc_id": range(100), "val": range(100)})
+    write_table(spark.createDataFrame(pdf).repartition(2), path,
+                sort_by=["doc_id"])
+    upsert_rows(
+        spark, path,
+        spark.createDataFrame(pd.DataFrame({"doc_id": [3], "val": [-1]})),
+        ["doc_id"], strategy="mor",
+    )
+    files = table_files(spark, path).toPandas()
+    assert files["record_count"].sum() == 101  # physical rows incl. update
+    assert all("doc_id" in nf for nf in files["nullfree"])
+    hist = table_history(spark, path).toPandas()
+    assert hist["operation"].tolist() == ["append", "upsert-mor"]
+    assert hist["delete_file_count"].tolist() == [0, 1]
