@@ -1419,6 +1419,59 @@ def expire_snapshots(path: str, keep_last: int = 2) -> dict:
     return {"removed_snapshots": len(dropped), "deleted_files": len(dead)}
 
 
+def read_incremental(
+    spark: SparkSession,
+    path: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """Iceberg incremental append scan: the rows ADDED strictly after
+    ``from_snapshot`` up to and including ``to_snapshot`` (default:
+    current) — the shape a downstream batch consumer uses to process
+    only new data per run. Planned purely from manifests: the data
+    files present in the target snapshot but absent from the base one.
+
+    Only append-shaped history is incrementally readable: an
+    overwrite, delete, upsert, or compaction in the range rewrites or
+    removes rows, so "what changed" is no longer a file-set difference
+    — those raise, directing the caller to a full read (same contract
+    as Iceberg's incremental scan, which supports append snapshots
+    only). Schema evolution in the range is fine (metadata-only; the
+    scan uses the TARGET snapshot's schema)."""
+    snapshots = _load_snapshots(path)
+    if not snapshots:
+        raise FileNotFoundError(f"no table at {path}")
+    by_id = {s["snapshot_id"]: s for s in snapshots}
+    if from_snapshot not in by_id:
+        raise ValueError(f"no snapshot {from_snapshot} in {path}")
+    to_snapshot = (
+        snapshots[-1]["snapshot_id"] if to_snapshot is None else to_snapshot
+    )
+    if to_snapshot not in by_id:
+        raise ValueError(f"no snapshot {to_snapshot} in {path}")
+    if to_snapshot < from_snapshot:
+        raise ValueError(
+            f"to_snapshot {to_snapshot} < from_snapshot {from_snapshot}"
+        )
+    non_append = [
+        (s["snapshot_id"], s["mode"])
+        for s in snapshots
+        if from_snapshot < s["snapshot_id"] <= to_snapshot
+        and s["mode"] not in ("append", "evolve-rename", "evolve-drop",
+                              "evolve-widen")
+    ]
+    if non_append:
+        raise ValueError(
+            f"non-append snapshots in range: {non_append} — rows were "
+            "rewritten or removed, run a full read of the target "
+            "snapshot instead"
+        )
+    base = {f["path"] for f in by_id[from_snapshot]["files"]}
+    target = by_id[to_snapshot]
+    added = [f for f in target["files"] if f["path"] not in base]
+    return _scan_files(spark, target, added)
+
+
 def remove_orphan_files(
     path: str, min_age_s: float = 3600.0, dry_run: bool = False
 ) -> dict:

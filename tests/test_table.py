@@ -1226,3 +1226,54 @@ def test_metadata_tables(spark, tmp_path):
     hist = table_history(spark, path).toPandas()
     assert hist["operation"].tolist() == ["append", "upsert-mor"]
     assert hist["delete_file_count"].tolist() == [0, 1]
+
+
+def test_read_incremental_appends(spark, tmp_path):
+    """Incremental append scan: only the rows added after the base
+    snapshot; schema evolution in range is transparent; rewriting
+    operations in range are loud."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        read_incremental,
+        rename_column,
+        upsert_rows,
+    )
+
+    path = str(tmp_path / "tbl")
+    for lo in (0, 100, 200):
+        write_table(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {"doc_id": range(lo, lo + 100), "val": range(100)}
+                )
+            ),
+            path, mode="append",
+        )
+    inc = read_incremental(spark, path, from_snapshot=1).toPandas()
+    assert sorted(inc["doc_id"]) == list(range(100, 300))
+    inc2 = read_incremental(spark, path, 1, 2).toPandas()
+    assert sorted(inc2["doc_id"]) == list(range(100, 200))
+    assert read_incremental(spark, path, 3, 3).count() == 0
+
+    # rename in range is metadata-only: incremental read still works,
+    # under the target snapshot's schema
+    rename_column(path, "doc_id", "page_id")
+    write_table(
+        spark.createDataFrame(
+            pd.DataFrame({"page_id": [900], "val": [9]})
+        ),
+        path, mode="append",
+    )
+    inc3 = read_incremental(spark, path, 2).toPandas()
+    assert "page_id" in inc3.columns
+    assert sorted(inc3["page_id"]) == list(range(200, 300)) + [900]
+
+    # an upsert in range rewrites rows -> loud
+    upsert_rows(
+        spark, path,
+        spark.createDataFrame(pd.DataFrame({"page_id": [0], "val": [-1]})),
+        ["page_id"], strategy="cow",
+    )
+    with pytest.raises(ValueError, match="non-append"):
+        read_incremental(spark, path, 1)
