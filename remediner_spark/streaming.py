@@ -302,6 +302,13 @@ def edge_merge_fn(spark: SparkSession, table_path: str, scope: str,
                 F.sum("weight").alias("weight"),
                 F.min("first_seen").alias("first_seen"),
             ).select("subj", "pred", "obj", "weight", "first_seen", "bucket")
+            # ONE file per touched bucket: without this the agg's
+            # shuffle_partitions fan out to ~32 files per bucket per
+            # commit (measured 256 tiny files/batch), and every later
+            # batch pays their footer reads + scan planning — the
+            # small-file spiral compact_table exists to fix, avoided
+            # at the source here
+            merged = merged.repartition(max(len(touched), 1), "bucket")
             write_table(
                 merged, table_path,
                 mode="replace_partitions" if current is not None else "overwrite",
