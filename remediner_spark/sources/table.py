@@ -25,6 +25,7 @@ before scan, snapshot pinning) is identical.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
@@ -57,6 +58,60 @@ def _save_snapshots(path: str, snapshots: list[dict]) -> None:
     with open(tmp, "w") as fh:
         json.dump(snapshots, fh, indent=1)
     os.replace(tmp, _snapshots_file(path))
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed between this operation's planning read
+    and its commit. The operation's file set was computed against a
+    stale snapshot — re-run it against the current table state (the
+    Iceberg client retries exactly this way)."""
+
+
+@contextlib.contextmanager
+def _commit_lock(path: str, timeout_s: float = 60.0, stale_s: float = 300.0):
+    """O_EXCL lockfile serializing manifest commits on one host. Locks
+    older than ``stale_s`` are presumed crashed holders and broken."""
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    lock = os.path.join(_meta_dir(path), "commit.lock")
+    t0 = time.time()
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > stale_s:
+                    os.remove(lock)
+                    continue
+            except OSError:
+                continue
+            if time.time() - t0 > timeout_s:
+                raise TimeoutError(f"commit lock busy: {lock}")
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.remove(lock)
+
+
+def _commit_snapshot(path: str, base_snapshot_id: int, snapshot: dict) -> None:
+    """Optimistic-concurrency append (Iceberg commit semantics): the
+    new snapshot's file set was planned against ``base_snapshot_id``;
+    under the commit lock, verify the table tip hasn't moved, then
+    append atomically. A moved tip means a concurrent writer's files
+    would be silently dropped or double-counted — raise instead."""
+    with _commit_lock(path):
+        current = _load_snapshots(path)
+        tip = current[-1]["snapshot_id"] if current else 0
+        if tip != base_snapshot_id:
+            raise CommitConflictError(
+                f"table tip advanced to snapshot {tip} while this commit "
+                f"planned against {base_snapshot_id}"
+            )
+        _save_snapshots(path, current + [snapshot])
 
 
 def _assign_field_ids(schema_json: dict, start: int = 1) -> tuple[dict, int]:
@@ -460,7 +515,9 @@ def write_table(
         "total_rows": sum(f["rows"] for f in files),
         "properties": properties or {},
     }
-    _save_snapshots(path, snapshots + [snapshot])
+    _commit_snapshot(
+        path, snapshots[-1]["snapshot_id"] if snapshots else 0, snapshot
+    )
     return snapshot
 
 
@@ -856,7 +913,7 @@ def _commit_evolution(
         "total_rows": sum(f["rows"] for f in files),
         "properties": detail,
     }
-    _save_snapshots(path, snapshots + [new_snap])
+    _commit_snapshot(path, snap["snapshot_id"], new_snap)
     return new_snap
 
 
@@ -1194,7 +1251,9 @@ def upsert_rows(
         "total_rows": sum(f["rows"] for f in files),
         "properties": properties,
     }
-    _save_snapshots(path, snapshots + [snapshot])
+    _commit_snapshot(
+        path, snapshots[-1]["snapshot_id"] if snapshots else 0, snapshot
+    )
     return snapshot
 
 
@@ -1361,7 +1420,9 @@ def delete_range(
             "carried_files": len(carried),
         },
     }
-    _save_snapshots(path, snapshots + [snapshot])
+    _commit_snapshot(
+        path, snapshots[-1]["snapshot_id"] if snapshots else 0, snapshot
+    )
     return snapshot
 
 
@@ -1376,6 +1437,14 @@ def expire_snapshots(path: str, keep_last: int = 2) -> dict:
     writer's replay guard, or a redelivered micro-batch after a
     crash+expiry would double-merge. Returns
     {"removed_snapshots": n, "deleted_files": n}."""
+    # the whole read-compute-save runs under the commit lock: expiry
+    # REWRITES the manifest list, and racing a concurrent append would
+    # silently drop the appended snapshot
+    with _commit_lock(path):
+        return _expire_locked(path, keep_last)
+
+
+def _expire_locked(path: str, keep_last: int) -> dict:
     snapshots = _load_snapshots(path)
     if len(snapshots) <= keep_last:
         return {"removed_snapshots": 0, "deleted_files": 0}

@@ -1277,3 +1277,57 @@ def test_read_incremental_appends(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="non-append"):
         read_incremental(spark, path, 1)
+
+
+def test_optimistic_commit_conflict(spark, tmp_path):
+    """Concurrent-writer safety: a commit planned against a stale tip
+    raises CommitConflictError instead of silently dropping the other
+    writer's snapshot; a stale crashed lock is broken, a fresh one
+    times out."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        CommitConflictError,
+        _commit_snapshot,
+        _load_snapshots,
+        _meta_dir,
+        read_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame({"doc_id": range(50), "val": range(50)})
+    write_table(spark.createDataFrame(pdf), path)
+    # writer A plans against tip=1; writer B commits first
+    write_table(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [99], "val": [9]})),
+        path, mode="append",
+    )  # tip is now 2
+    fake = dict(_load_snapshots(path)[-1])
+    fake["snapshot_id"] = 2
+    with pytest.raises(CommitConflictError, match="planned against 1"):
+        _commit_snapshot(path, 1, fake)
+    # nothing was lost
+    assert read_table(spark, path).count() == 51
+    assert [s["snapshot_id"] for s in _load_snapshots(path)] == [1, 2]
+
+    # stale lock (crashed writer) is broken and the commit proceeds
+    lock = os.path.join(_meta_dir(path), "commit.lock")
+    open(lock, "w").write("0")
+    old = _time.time() - 3600
+    os.utime(lock, (old, old))
+    write_table(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [100], "val": [1]})),
+        path, mode="append",
+    )
+    assert read_table(spark, path).count() == 52
+    # fresh lock blocks until timeout
+    open(lock, "w").write("0")
+    from remediner_spark.sources.table import _commit_lock
+
+    with pytest.raises(TimeoutError, match="commit lock busy"):
+        with _commit_lock(path, timeout_s=0.3):
+            pass
+    os.remove(lock)
