@@ -830,7 +830,25 @@ def compact_table(
     snap = snapshots[-1]
     partition_by = snap["partition_by"]
     if not partition_by:
-        raise ValueError("compact_table requires a partitioned table")
+        # unpartitioned table: the rewrite unit is the whole table —
+        # bin-pack when crowded OR fold pending MoR delete entries
+        # (without this, an unpartitioned table's equality/predicate
+        # deletes would accumulate forever with no fold path)
+        if (
+            len(snap["files"]) <= min_files_per_partition
+            and not snap.get("delete_files")
+        ):
+            return snap
+        # coalesce sets the output file count; write_table's sort_by
+        # path re-clusters (repartitionByRange reads this partition
+        # count as its target)
+        df = _scan_files(spark, snap, snap["files"]).coalesce(
+            max(min_files_per_partition, 1)
+        )
+        return write_table(
+            df, path, mode="overwrite",
+            sort_by=(snap.get("sort_by") or None),
+        )
     by_part: dict[tuple, list[dict]] = {}
     for f in snap["files"]:
         by_part.setdefault(tuple(sorted(f["partition"].items())), []).append(f)

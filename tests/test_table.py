@@ -1331,3 +1331,47 @@ def test_optimistic_commit_conflict(spark, tmp_path):
         with _commit_lock(path, timeout_s=0.3):
             pass
     os.remove(lock)
+
+
+def test_compact_unpartitioned_folds_deletes(spark, tmp_path):
+    """Unpartitioned tables fold MoR deletes by whole-table rewrite:
+    contents unchanged, delete entries gone, sort order preserved,
+    time travel intact."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        _load_snapshots,
+        compact_table,
+        delete_range,
+        read_table,
+        upsert_rows,
+    )
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame({"doc_id": range(500), "val": range(500)})
+    write_table(spark.createDataFrame(pdf).repartition(6), path,
+                sort_by=["doc_id"])
+    upsert_rows(
+        spark, path,
+        spark.createDataFrame(pd.DataFrame({"doc_id": [7], "val": [-1]})),
+        ["doc_id"], strategy="mor",
+    )
+    delete_range(spark, path, "doc_id", 480, None, strategy="mor")
+    assert _load_snapshots(path)[-1]["delete_files"]
+    before = (
+        read_table(spark, path).toPandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    snap = compact_table(spark, path)
+    assert not snap["delete_files"]
+    assert len(snap["files"]) <= 2
+    assert snap["sort_by"] == ["doc_id"]
+    after = (
+        read_table(spark, path).toPandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(before, after)
+    assert len(after) == 500 - 20  # 480..499 deleted, key 7 updated
+    assert after.set_index("doc_id").loc[7, "val"] == -1
+    # pre-compaction snapshots still time travel
+    assert read_table(spark, path, snapshot_id=1).count() == 500
