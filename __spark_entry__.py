@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ivf,
         multimodal,
         olap,
+        pq,
         relational,
         similarity,
         tableops,
@@ -96,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.QUERIES)
     out.update(components.QUERIES)
     out.update(ivf.QUERIES)
+    out.update(pq.QUERIES)
     out.update(docpipe.QUERIES)
     out.update(textstats.QUERIES)
     out.update(dedup.QUERIES)
@@ -117,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         ivf,
         multimodal,
         olap,
+        pq,
         relational,
         similarity,
         tableops,
@@ -131,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
     # sim_topk_ivf: the search phase over materialized centroids
     # (k-means training stays Spark-side; operators/ivf.py docstring)
     out.update(ivf.oracles())
+    out.update(pq.oracles())
     out.update(docpipe.ORACLES)
     out.update(textstats.ORACLES)
     out.update(dedup.ORACLES)
