@@ -45,6 +45,8 @@ def main() -> int:
         "dedup_ngram_jaccard",   # df-cap semi-join BEFORE collect_list
         "pack_sequences",        # broadcast prefix join
         "tpch_q3",               # broadcast dim, shuffle fact join
+        "sim_topk_pq",           # ADC: no all-pairs, broadcast rerank
+        "table_mor_read",        # MoR deletes: broadcast anti-join
     ]
     checks = {
         "r13_word_explode": ["PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"],
@@ -73,6 +75,16 @@ def main() -> int:
         # the parquet scans; top-10 via TakeOrdered, not a global sort
         "tpch_q3": ["BroadcastHashJoin", "PushedFilters: [IsNotNull(l_shipdate)",
                     "TakeOrderedAndProject"],
+        # PQ search: codes + plan-literal partial tables, never an
+        # all-pairs vector join; the rerank joins the tiny shortlist
+        # against vectors hash-wise
+        "sim_topk_pq": ["!CartesianProduct", "BroadcastHashJoin",
+                        "WindowGroupLimit"],
+        # merge-on-read scan: the equality-delete applies as a
+        # BROADCAST anti-join (delete keys are commit-sized), and the
+        # predicate delete is a plain filter — no shuffle for either
+        "table_mor_read": ["LeftAnti", "BroadcastHashJoin",
+                           "!CartesianProduct"],
     }
     failures = []
     for name in audit_set:
