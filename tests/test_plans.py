@@ -137,3 +137,32 @@ def test_cache_scope_releases_everything(spark):
             spark.sparkContext._jsc.getPersistentRDDs().keys()
         )) >= 1
     assert list(spark.sparkContext._jsc.getPersistentRDDs().keys()) == []
+
+
+def test_link_surfaces_single_winner_aggregation(spark):
+    """Regression pin for the r5 linking plan: winner selection is ONE
+    aggregation — no Window node (the old dropDuplicates + row_number
+    pair cost two vocabulary-grain shuffles and a sort)."""
+    import pandas as pd
+
+    from remediner_spark.operators.linking import link_surfaces
+    from remediner_spark.sources.corpus import generate_entity_dictionary
+
+    surfaces = spark.createDataFrame(
+        pd.DataFrame(
+            {"surface_norm": [f"s{i}" for i in range(20)],
+             "entity_type": ["DRUG"] * 10 + ["EFFECT"] * 10}
+        )
+    )
+    dictionary = spark.createDataFrame(generate_entity_dictionary())
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        link_surfaces(surfaces, dictionary).explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    # struct-min compiles to SortAggregate (still partial+final — one
+    # exchange), never a Window sort
+    assert "SortAggregate" in plan
