@@ -1375,3 +1375,37 @@ def test_compact_unpartitioned_folds_deletes(spark, tmp_path):
     assert after.set_index("doc_id").loc[7, "val"] == -1
     # pre-compaction snapshots still time travel
     assert read_table(spark, path, snapshot_id=1).count() == 500
+
+
+def test_cmp_stats_matches_chronology():
+    """Property: _cmp_stats on canonicalized date/datetime bounds must
+    agree with true chronological order whenever it returns a verdict
+    (the ADVICE r4 false-prune class: '2024-01-05' vs
+    '2024-01-05T00:00:00' compared lexicographically)."""
+    import datetime
+    import itertools
+
+    from remediner_spark.sources.table import _cmp_stats, _stats_value
+
+    instants = []
+    for d in (1, 5, 28):
+        instants.append(datetime.date(2024, 1, d))
+        for h, m_ in ((0, 0), (10, 30), (23, 59)):
+            instants.append(datetime.datetime(2024, 1, d, h, m_))
+    for a, b in itertools.product(instants, repeat=2):
+        ta = (
+            a
+            if isinstance(a, datetime.datetime)
+            else datetime.datetime(a.year, a.month, a.day)
+        )
+        tb = (
+            b
+            if isinstance(b, datetime.datetime)
+            else datetime.datetime(b.year, b.month, b.day)
+        )
+        want = (ta > tb) - (ta < tb)
+        got = _cmp_stats(_stats_value(a), _stats_value(b))
+        assert got == want, (a, b, got, want)
+    # incomparable representations return None, never raise
+    assert _cmp_stats(5, "2024-01-01") is None
+    assert _cmp_stats(True, 1) is None
