@@ -52,6 +52,12 @@ BENCH_QUERIES = [
     "decontaminate_bloom",
     "dedup_span_coverage",
     "agg_approx_distinct",
+    # round-5 additions. sim_topk_pq's codebook FIT is memoized per
+    # process (training is a one-off, not the query), so its timed
+    # legs measure encode + ADC shortlist + exact rerank — the search
+    # path a deployment runs per query batch.
+    "kg_degree_distribution",
+    "sim_topk_pq",
 ]
 
 # base pages generated pandas-side, then tiled with distinct urls to
