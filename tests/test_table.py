@@ -1409,3 +1409,44 @@ def test_cmp_stats_matches_chronology():
     # incomparable representations return None, never raise
     assert _cmp_stats(5, "2024-01-01") is None
     assert _cmp_stats(True, 1) is None
+
+
+def test_stats_filter_composes_with_mor_deletes(spark, tmp_path):
+    """Interplay paranoia: manifest stats pruning + row-level range
+    filter + pending equality/predicate deletes must compose to the
+    exact relational answer — a pruned file's delete entry simply has
+    nothing to apply to."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        delete_range,
+        read_table,
+        upsert_rows,
+    )
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame({"doc_id": range(1000), "val": range(1000)})
+    write_table(spark.createDataFrame(pdf).repartition(8), path,
+                sort_by=["doc_id"])
+    upsert_rows(
+        spark, path,
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [150, 850], "val": [-1, -2]})
+        ),
+        ["doc_id"], strategy="mor",
+    )
+    delete_range(spark, path, "doc_id", 300, 499, strategy="mor")
+
+    got = (
+        read_table(spark, path, stats_filter={"doc_id": (100, 899)})
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # relational recompute in pandas
+    want = pdf.copy()
+    want.loc[want.doc_id.isin([150, 850]), "val"] = [-1, -2]
+    want = want[~want.doc_id.between(300, 499)]
+    want = (
+        want[want.doc_id.between(100, 899)]
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
