@@ -62,6 +62,16 @@ def test_stream_edges_match_batch(spark, tmp_path, tagger_bc):
     # snapshot must exist and the LAST snapshot is the full state
     snaps = table_snapshots(table)
     assert len(snaps) >= 1
+    # one merge file per touched bucket per commit (r5 fix: the agg's
+    # shuffle fan-out used to land ~32 tiny files per bucket, and every
+    # later batch paid their footer reads + scan planning)
+    from remediner_spark.sources.table import _load_snapshots
+
+    per_bucket: dict[str, int] = {}
+    for f in _load_snapshots(table)[-1]["files"]:
+        b = f["partition"]["bucket"]
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert max(per_bucket.values()) == 1
 
     got = (
         read_table(spark, table)
