@@ -370,6 +370,66 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_DENOM = 1_000_000  # ppm threshold base for the temperature coin
+
+
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture rebalancing (the T5/mT5 rule: sample
+    group g with probability proportional to p_g^alpha, alpha=0.5 —
+    head groups down-weighted, tail groups kept whole). Realized as
+    per-doc deterministic thinning: keep_ppm(g) =
+    floor(1e6 * sqrt(n_min / n_g)), so the rarest group keeps
+    everything and a group 4x its size keeps half — expected counts
+    proportional to sqrt(n_g), exactly p_g^0.5 renormalized.
+
+    Cross-engine exactness: n_min/n_g division, sqrt, the 1e6 scale,
+    and floor are all IEEE correctly-rounded operations evaluated in
+    the same expression shape on both engines, so keep_ppm is
+    bit-identical — no probabilistic certificate needed; the coin is
+    the usual md5-prefix hash of the doc id. At 100 TB: one tiny
+    count aggregation, a broadcast join of the group table, and a
+    map-side filter."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_grp"))
+    n_min = counts.agg(F.min("n_grp").alias("n_min"))
+    keep = (
+        counts.crossJoin(F.broadcast(n_min))
+        .withColumn(
+            "keep_ppm",
+            F.floor(
+                F.lit(float(TEMP_DENOM))
+                * F.sqrt(F.col("n_min").cast("double") / F.col("n_grp"))
+            ).cast("long"),
+        )
+        .select("lang", F.col("n_grp").cast("long").alias("n_grp"),
+                "keep_ppm")
+    )
+    h = md5_hash32_expr(
+        F.concat(F.lit("tsamp|"), F.col("doc_id").cast("string"))
+    )
+    return (
+        docs.join(F.broadcast(keep), "lang")
+        .filter(h % TEMP_DENOM < F.col("keep_ppm"))
+        .select("doc_id", "lang", "n_grp", "keep_ppm")
+    )
+
+
+SQL_SAMPLE_TEMPERATURE = f"""
+WITH c AS (SELECT lang, count(*) AS n_grp FROM documents GROUP BY lang),
+mn AS (SELECT min(n_grp) AS n_min FROM c),
+k AS (
+  SELECT lang, CAST(n_grp AS BIGINT) AS n_grp,
+         CAST(floor({float(1_000_000)} *
+              sqrt(CAST(n_min AS DOUBLE) / n_grp)) AS BIGINT) AS keep_ppm
+  FROM c CROSS JOIN mn)
+SELECT d.doc_id, d.lang, k.n_grp, k.keep_ppm
+FROM documents d JOIN k USING (lang)
+WHERE ({md5_hash32_sql("('tsamp|' || CAST(doc_id AS VARCHAR))")})
+      % 1000000 < k.keep_ppm"""
+
+
 SQL_SAMPLE_WEIGHTED = f"""
 WITH w AS (
   SELECT doc_id, n_chars,
@@ -524,6 +584,7 @@ QUERIES = {
     "top_ngrams": q_top_ngrams,
     "source_mixture": q_source_mixture,
     "sample_weighted": q_sample_weighted,
+    "sample_temperature": q_sample_temperature,
 }
 
 ORACLES = {
@@ -536,4 +597,5 @@ ORACLES = {
     "top_ngrams": sql_top_ngrams(),
     "source_mixture": SQL_SOURCE_MIXTURE,
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
+    "sample_temperature": SQL_SAMPLE_TEMPERATURE,
 }
