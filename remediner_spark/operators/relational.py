@@ -233,16 +233,15 @@ FROM events GROUP BY event_type"""
 
 
 HLL_RSD = 0.05  # approx_count_distinct relative standard deviation
-# Certificate bound as a RELATIVE error. rsd is a standard deviation,
-# not a hard guarantee, so a k*rsd bound with small k would make the
-# oracle suite probabilistic where everything else is deterministic.
-# The estimate IS deterministic for fixed data (register-wise-max
-# merge, order-independent), and the observed max relative error on
-# the pinned seeded datasets is 0.067 (sf0.1; sf0.01: 0.007, sf0.001:
-# 0.0) — verified once, 1.33 sigma. 10 sigma = 0.5 keeps the gate
-# deterministic-green for the pinned data with a ~1e-23 tail even on
-# regenerated datasets, while still certifying the sketch is sane.
-HLL_CERT_BOUND = 10 * HLL_RSD
+# Certificate bound as a RELATIVE error. The estimate is DETERMINISTIC
+# for fixed data (register-wise-max merge, order-independent), and the
+# observed max relative error on the pinned seeded datasets is 0.067
+# (sf0.1; sf0.01: 0.007, sf0.001: 0.0). The bound is ~3x that observed
+# maximum: tight enough that the certificate still attests real sketch
+# quality (a sketch off by 25% FAILS), wide enough that the pinned
+# datasets pass deterministically with margin. (An earlier 10*rsd=0.5
+# envelope would have passed a sketch off by half — r5 ADVICE.)
+HLL_CERT_BOUND = 4 * HLL_RSD
 
 
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -67,26 +67,60 @@ class CommitConflictError(RuntimeError):
     Iceberg client retries exactly this way)."""
 
 
+def _break_stale_lock(lock: str, stale_s: float) -> None:
+    """Remove ``lock`` ONLY if it is still the same stale file observed
+    at the start (same inode + mtime). Two waiters racing a stale lock
+    could otherwise both observe staleness and the slower ``os.remove``
+    would delete the faster waiter's FRESH lock, letting two committers
+    run concurrently (r5 ADVICE TOCTOU). The claim step is an atomic
+    rename to a unique tombstone: exactly one breaker wins it, and the
+    inode check afterwards proves the claimed file is the stale one —
+    a fresh lock claimed by mistake (created between stat and rename)
+    is renamed straight back."""
+    try:
+        st = os.stat(lock)
+    except OSError:
+        return
+    if time.time() - st.st_mtime <= stale_s:
+        return
+    tomb = f"{lock}.break.{uuid.uuid4().hex[:8]}"
+    try:
+        os.rename(lock, tomb)
+    except OSError:
+        return  # someone else claimed it first
+    try:
+        if os.stat(tomb).st_ino == st.st_ino:
+            os.remove(tomb)  # verified: broke the stale lock
+            return
+    except OSError:
+        return
+    # claimed a FRESH lock (created after our stat): restore it
+    try:
+        os.rename(tomb, lock)
+    except OSError:
+        with contextlib.suppress(OSError):
+            os.remove(tomb)
+
+
 @contextlib.contextmanager
 def _commit_lock(path: str, timeout_s: float = 60.0, stale_s: float = 300.0):
     """O_EXCL lockfile serializing manifest commits on one host. Locks
-    older than ``stale_s`` are presumed crashed holders and broken."""
+    older than ``stale_s`` are presumed crashed holders and broken via
+    the stat-verified rename in _break_stale_lock (never a bare remove
+    of whatever file currently sits at the lock path)."""
     os.makedirs(_meta_dir(path), exist_ok=True)
     lock = os.path.join(_meta_dir(path), "commit.lock")
     t0 = time.time()
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
+            # pid + nonce: diagnosable ownership, and every lock file's
+            # content is unique (breakers compare inodes, not content)
+            os.write(fd, f"{os.getpid()}:{uuid.uuid4().hex}".encode())
             os.close(fd)
             break
         except FileExistsError:
-            try:
-                if time.time() - os.path.getmtime(lock) > stale_s:
-                    os.remove(lock)
-                    continue
-            except OSError:
-                continue
+            _break_stale_lock(lock, stale_s)
             if time.time() - t0 > timeout_s:
                 raise TimeoutError(f"commit lock busy: {lock}")
             time.sleep(0.05)
@@ -377,6 +411,7 @@ def write_table(
     partition_by: list[str] | None = None,
     properties: dict | None = None,
     sort_by: list[str] | None = None,
+    replaced_partitions: list[dict] | None = None,
 ) -> dict:
     """Write a snapshot; returns the snapshot record.
 
@@ -482,6 +517,13 @@ def write_table(
         touched = {
             tuple(sorted(f["partition"].items())) for f in new_files
         }
+        # ``replaced_partitions``: partitions the caller REWROTE even if
+        # the rewrite emitted no file for them (pending MoR deletes can
+        # empty a partition; without this its old files — and their
+        # delete entries — would survive and re-qualify for compaction
+        # forever, r5 ADVICE no-progress finding)
+        for p in replaced_partitions or []:
+            touched.add(tuple(sorted((k, str(v)) for k, v in p.items())))
         prev = snapshots[-1]["files"] if snapshots else []
         kept = [
             f
@@ -873,8 +915,16 @@ def compact_table(
     # the shared scan planner (same semantics as read_table)
     df = _scan_files(spark, snap, crowded_files)
     compacted = df.repartition(max(len(crowded), 1), *partition_by)
+    # sort_by rides through so compaction preserves the table's
+    # clustering (and its stats-skipping) instead of silently recording
+    # sort_by: [] — the unpartitioned branch above always kept it;
+    # replaced_partitions names every crowded partition explicitly so
+    # one emptied by pending MoR deletes still folds (its old files
+    # leave the manifest, its delete entries prune)
     return write_table(
-        compacted, path, mode="replace_partitions", partition_by=partition_by
+        compacted, path, mode="replace_partitions", partition_by=partition_by,
+        sort_by=(snap.get("sort_by") or None),
+        replaced_partitions=[dict(part) for part in crowded],
     )
 
 

@@ -1450,3 +1450,128 @@ def test_stats_filter_composes_with_mor_deletes(spark, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_break_stale_lock_spares_fresh_lock(tmp_path, monkeypatch):
+    """A stale commit lock is broken; a fresh one is left alone — and
+    the race where the lock is REPLACED between the staleness stat and
+    the claim (r5 ADVICE TOCTOU) restores the stolen fresh lock."""
+    import os
+    import time as _time
+
+    from remediner_spark.sources.table import _break_stale_lock
+
+    lock = str(tmp_path / "commit.lock")
+
+    # stale lock: removed
+    with open(lock, "w") as fh:
+        fh.write("111:dead")
+    os.utime(lock, (_time.time() - 9999, _time.time() - 9999))
+    _break_stale_lock(lock, stale_s=300.0)
+    assert not os.path.exists(lock)
+
+    # fresh lock: untouched
+    with open(lock, "w") as fh:
+        fh.write("222:live")
+    _break_stale_lock(lock, stale_s=300.0)
+    assert os.path.exists(lock)
+
+    # TOCTOU: the first stat observes a STALE file, but by claim time a
+    # FRESH lock (different inode) sits at the path — simulate with a
+    # patched first stat reporting staleness + a different inode
+    real_stat = os.stat
+    real = real_stat(lock)
+    calls = {"n": 0}
+
+    class _FakeStat:
+        st_ino = real.st_ino + 12345
+        st_mtime = _time.time() - 9999
+
+    def fake_stat(p, *a, **kw):
+        if p == lock and calls["n"] == 0:
+            calls["n"] += 1
+            return _FakeStat()
+        return real_stat(p, *a, **kw)
+
+    monkeypatch.setattr(os, "stat", fake_stat)
+    _break_stale_lock(lock, stale_s=300.0)
+    monkeypatch.undo()
+    assert os.path.exists(lock)  # fresh lock restored, not deleted
+    with open(lock) as fh:
+        assert fh.read() == "222:live"
+    assert not [p for p in os.listdir(tmp_path) if ".break." in p]
+
+
+def test_compact_partitioned_preserves_sort_order(spark, tmp_path):
+    """Partitioned compaction keeps the table's sort order (it used to
+    commit sort_by: [], silently losing clustering — r5 ADVICE) and the
+    rewritten files still stats-prune."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        _load_snapshots,
+        compact_table,
+        read_table,
+        stats_pruned_count,
+    )
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame(
+        {"doc_id": range(400),
+         "lang": ["en" if i % 2 else "de" for i in range(400)],
+         "val": list(range(400))}
+    )
+    for lo in (0, 100, 200, 300):  # 4 small commits per partition
+        write_table(
+            spark.createDataFrame(pdf.iloc[lo:lo + 100]), path,
+            partition_by=["lang"], sort_by=["val"],
+        )
+    snap = compact_table(spark, path, min_files_per_partition=1)
+    assert snap["sort_by"] == ["val"]
+    assert read_table(spark, path).count() == 400
+    selected, total = stats_pruned_count(path, {"val": (0, 40)})
+    assert 0 < selected < total  # clustering survived the rewrite
+    assert _load_snapshots(path)[-1]["sort_by"] == ["val"]
+
+
+def test_compact_folds_emptied_partition(spark, tmp_path):
+    """Pending MoR deletes that empty an entire partition still fold:
+    the rewrite emits no file for it, but compact_table names it as
+    replaced, so its old files leave the manifest, its delete entries
+    prune, and a second compaction is a no-op (the r5 ADVICE
+    permanent-no-progress finding)."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        _load_snapshots,
+        compact_table,
+        delete_range,
+        read_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    # >60-char string values defeat footer stats, forcing delete_range
+    # into the boundary (rewrite/MoR) class instead of metadata drops
+    pdf = pd.DataFrame(
+        {"doc_id": range(100),
+         "lang": ["de" if i < 50 else "en" for i in range(100)],
+         "val": [("x" * 70 if i < 50 else "z" * 70) + str(i)
+                 for i in range(100)]}
+    )
+    write_table(
+        spark.createDataFrame(pdf), path, partition_by=["lang"]
+    )
+    # deletes every 'de' row (all start 'xxx…'), no 'en' row ('zzz…')
+    delete_range(spark, path, "val", lo="x", hi="y", strategy="mor")
+    assert _load_snapshots(path)[-1]["delete_files"]
+    assert read_table(spark, path).count() == 50
+
+    snap = compact_table(spark, path, min_files_per_partition=1)
+    assert not snap["delete_files"]  # folded, including the emptied one
+    assert read_table(spark, path).count() == 50
+    assert set(
+        read_table(spark, path).toPandas()["lang"].unique()
+    ) == {"en"}
+    # no re-qualification: the next compaction has nothing to do
+    snap2 = compact_table(spark, path, min_files_per_partition=1)
+    assert snap2["snapshot_id"] == snap["snapshot_id"]
