@@ -6,21 +6,27 @@ the load-bearing subset of the table-format contract the engine needs,
 the way Iceberg does it — metadata-driven, snapshot-based:
 
 * **Snapshots**: every write (append / overwrite) creates an immutable
-  snapshot listing exactly the data files it contains. Old files are
-  never deleted by overwrite, so any historical snapshot remains
+  snapshot describing exactly the data files it contains. Old files
+  are never deleted by overwrite, so any historical snapshot remains
   readable (time travel).
-* **Manifests**: per-snapshot JSON with schema + per-file entries
-  (path, partition values, row count). Readers plan from the manifest,
-  not from directory listing.
+* **Manifest lists** (Iceberg spec shape): a snapshot holds REFS to
+  immutable per-commit manifest files (JSON under
+  ``_metadata/manifests/``), each listing file entries (path,
+  partition values, row count, column stats). An append writes ONE new
+  manifest and carries every earlier ref untouched — commit cost is
+  O(new files), independent of table size and history depth.
+  Subtractive commits rewrite only the manifests containing a removed
+  file. Readers plan from the manifests, never from directory listing.
 * **Partition pruning**: `read_table(..., partition_filter=...)`
-  selects matching files from the manifest and hands ONLY those to
+  selects matching files from the manifests and hands ONLY those to
   `spark.read.parquet` — the scan never touches pruned partitions.
 * **Schema check**: appends must carry the table schema (same names &
   types); mismatches fail at write time.
 
-At 100 TB the manifest write becomes a distributed job and the JSON a
-metadata table; the reader-side contract (plan from manifest, prune
-before scan, snapshot pinning) is identical.
+At 100 TB the manifest write becomes a distributed job and the JSON
+becomes avro/parquet; the structural contract (snapshot -> manifest
+list -> manifests -> files, prune before scan, snapshot pinning) is
+exactly Iceberg's.
 """
 
 from __future__ import annotations
@@ -58,6 +64,159 @@ def _save_snapshots(path: str, snapshots: list[dict]) -> None:
     with open(tmp, "w") as fh:
         json.dump(snapshots, fh, indent=1)
     os.replace(tmp, _snapshots_file(path))
+
+
+# ------------------------------------------------------------------
+# Manifest list (Iceberg spec shape). A snapshot does NOT embed its
+# file entries: it holds ONE ref to a manifest-list file, which lists
+# MANIFEST REFS — each an immutable JSON file under
+# _metadata/manifests/ written once and shared by every subsequent
+# snapshot that carries it. An append therefore writes O(new files)
+# manifest bytes — one new manifest, one manifest list (~40 bytes per
+# carried ref), one O(1) snapshot record — regardless of table size,
+# where the pre-r6 inline form rewrote the full cumulative file list
+# into snapshots.json on EVERY commit (O(total files x snapshots),
+# the r5 verdict's top scale defect). Subtractive commits (overwrite,
+# CoW upsert, delete, compaction) rewrite ONLY the manifests that
+# contain a removed file; untouched manifests are carried by ref.
+# Legacy snapshots with an inline "files" list remain readable and
+# migrate to manifests on their next write.
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(_meta_dir(path), "manifests")
+
+
+# manifests are immutable once written, so a process-wide cache by
+# absolute file path is sound; bounded to keep long sessions flat
+_MANIFEST_CACHE: dict[str, list[dict]] = {}
+_MANIFEST_CACHE_CAP = 256
+
+
+def _write_manifest(path: str, entries: list[dict]) -> str:
+    """Write one immutable manifest file; returns its ref (basename)."""
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    ref = f"m-{uuid.uuid4().hex[:16]}.json"
+    fpath = os.path.join(_manifest_dir(path), ref)
+    tmp = fpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(entries, fh)
+    os.replace(tmp, fpath)
+    return ref
+
+
+def _load_json_cached(fpath: str):
+    entry = _MANIFEST_CACHE.get(fpath)
+    if entry is None:
+        with open(fpath) as fh:
+            entry = json.load(fh)
+        if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
+            _MANIFEST_CACHE.clear()
+        _MANIFEST_CACHE[fpath] = entry
+    return entry
+
+
+def _load_manifest(path: str, ref: str) -> list[dict]:
+    return _load_json_cached(os.path.join(_manifest_dir(path), ref))
+
+
+def _write_manifest_list(path: str, refs: list[str]) -> str:
+    """Write the snapshot's manifest list (Iceberg: snapshot ->
+    manifest-list file -> manifests -> data files); returns its ref.
+    O(number of manifests) bytes — ~40 per ref — so the snapshot
+    record itself stays O(1) and snapshots.json grows linearly with
+    history, never with table size."""
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    ref = f"ml-{uuid.uuid4().hex[:16]}.json"
+    fpath = os.path.join(_manifest_dir(path), ref)
+    tmp = fpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(refs, fh)
+    os.replace(tmp, fpath)
+    return ref
+
+
+def _snap_refs(path: str, snap: dict) -> list[str]:
+    """The snapshot's manifest refs, resolved through its manifest-list
+    file. Empty for legacy inline-files snapshots."""
+    ml = snap.get("manifest_list")
+    if ml is None:
+        return []
+    return _load_json_cached(os.path.join(_manifest_dir(path), ml))
+
+
+def _snap_files(path: str, snap: dict) -> list[dict]:
+    """The snapshot's data-file entries: resolved through its manifest
+    list (or the legacy inline list). The returned list is fresh but
+    the entry dicts are SHARED with the cache — copy before mutating
+    (as _evolution_base does)."""
+    if "manifest_list" not in snap:
+        return list(snap.get("files") or [])
+    out: list[dict] = []
+    for ref in _snap_refs(path, snap):
+        out.extend(_load_manifest(path, ref))
+    return out
+
+
+def live_files(path: str, snapshot_id: int | None = None) -> list[dict]:
+    """Public manifest introspection: the file entries of the current
+    (or a pinned) snapshot."""
+    snapshots = _load_snapshots(path)
+    if not snapshots:
+        raise FileNotFoundError(f"no table at {path}")
+    if snapshot_id is None:
+        snap = snapshots[-1]
+    else:
+        matching = [s for s in snapshots if s["snapshot_id"] == snapshot_id]
+        if not matching:
+            raise ValueError(f"no snapshot {snapshot_id} in {path}")
+        snap = matching[0]
+    return _snap_files(path, snap)
+
+
+def _next_manifests(
+    path: str,
+    prev_snap: dict | None,
+    removed_paths: set[str],
+    new_files: list[dict],
+) -> tuple[list[str], list[dict]]:
+    """Manifest refs for the next snapshot: carry every previous
+    manifest untouched by ``removed_paths`` BY REFERENCE, rewrite only
+    the manifests that contain a removed file (keeping survivors), and
+    append one new manifest for ``new_files``. Returns
+    (refs, all file entries) — commit cost is O(new + touched-manifest
+    entries), never O(table)."""
+    refs: list[str] = []
+    files: list[dict] = []
+    if prev_snap is None:
+        prev_lists: list[tuple[str | None, list[dict]]] = []
+    elif "manifest_list" in prev_snap:
+        prev_lists = [
+            (r, _load_manifest(path, r))
+            for r in _snap_refs(path, prev_snap)
+        ]
+    else:  # legacy inline snapshot: migrate its entries this commit
+        prev_lists = [(None, prev_snap.get("files") or [])]
+    for ref, entries in prev_lists:
+        hit = removed_paths and any(
+            e["path"] in removed_paths for e in entries
+        )
+        if ref is not None and not hit:
+            refs.append(ref)
+            files.extend(entries)
+            continue
+        survivors = (
+            [e for e in entries if e["path"] not in removed_paths]
+            if removed_paths
+            else list(entries)
+        )
+        if survivors:
+            refs.append(_write_manifest(path, survivors))
+            files.extend(survivors)
+    if new_files:
+        refs.append(_write_manifest(path, new_files))
+        files.extend(new_files)
+    return refs, files
 
 
 class CommitConflictError(RuntimeError):
@@ -503,15 +662,32 @@ def write_table(
 
     new_files = _collect_file_entries(data_dir, partition_by)
     _stamp_field_mapping(new_files, cur_schema, partition_by)
-    if mode == "append" and snapshots:
-        files = snapshots[-1]["files"] + new_files
-    elif mode in ("append", "overwrite"):
-        files = new_files
+    prev = snapshots[-1] if snapshots else None
+    if mode == "append" and prev is not None and "manifest_list" in prev:
+        # O(new files) append: previous manifests carry BY REF without
+        # ever being loaded; no path leaves the table, so merge-on-read
+        # delete entries carry unchanged and total_rows is a running sum
+        refs = list(_snap_refs(path, prev)) + (
+            [_write_manifest(path, new_files)] if new_files else []
+        )
+        delete_files = [dict(d) for d in prev.get("delete_files") or []]
+        total_rows = prev["total_rows"] + sum(f["rows"] for f in new_files)
+    elif mode == "overwrite" or (mode == "append" and prev is None):
+        # overwrite starts a fresh file set (old files stay on disk for
+        # time travel); no old path survives, so no delete entry can
+        refs = [_write_manifest(path, new_files)] if new_files else []
+        delete_files = []
+        total_rows = sum(f["rows"] for f in new_files)
+    elif mode == "append":
+        # legacy inline-manifest table: one-time migration to manifests
+        refs, files = _next_manifests(path, prev, set(), new_files)
+        delete_files = _carry_delete_files(prev, {f["path"] for f in files})
+        total_rows = sum(f["rows"] for f in files)
     elif mode == "replace_partitions":
         # Iceberg MERGE-INTO file semantics: the new files REPLACE the
         # previous files of the partitions they land in; untouched
-        # partitions keep their old files. Old files stay on disk for
-        # time travel (earlier snapshots still reference them).
+        # partitions keep their old files (and their manifests carry by
+        # ref — only manifests holding a replaced file are rewritten).
         if not partition_by:
             raise ValueError("replace_partitions requires partition_by")
         touched = {
@@ -524,13 +700,20 @@ def write_table(
         # forever, r5 ADVICE no-progress finding)
         for p in replaced_partitions or []:
             touched.add(tuple(sorted((k, str(v)) for k, v in p.items())))
-        prev = snapshots[-1]["files"] if snapshots else []
-        kept = [
-            f
-            for f in prev
-            if tuple(sorted(f["partition"].items())) not in touched
-        ]
-        files = kept + new_files
+        removed = {
+            f["path"]
+            for f in (_snap_files(path, prev) if prev else [])
+            if tuple(sorted(f["partition"].items())) in touched
+        }
+        refs, files = _next_manifests(path, prev, removed, new_files)
+        # merge-on-read delete entries follow their targeted files:
+        # pruned when a target leaves the manifest (that is how
+        # compaction folds them in)
+        delete_files = (
+            _carry_delete_files(prev, {f["path"] for f in files})
+            if prev else []
+        )
+        total_rows = sum(f["rows"] for f in files)
     else:
         raise ValueError(f"unsupported mode {mode!r}")
     snapshot = {
@@ -545,16 +728,11 @@ def write_table(
         "last_field_id": last_field_id,
         "partition_by": partition_by,
         "sort_by": sort_by or [],
-        "files": files,
-        # merge-on-read delete entries follow their targeted files:
-        # pruned when a target leaves the manifest (overwrite drops
-        # all; replace_partitions folds the compacted ones)
-        "delete_files": _carry_delete_files(
-            snapshots[-1], {f["path"] for f in files}
-        ) if snapshots else [],
+        "manifest_list": _write_manifest_list(path, refs),
+        "delete_files": delete_files,
         # physical data-file row count; MoR delete entries subtract at
         # read time (same nuance as Iceberg's total-records)
-        "total_rows": sum(f["rows"] for f in files),
+        "total_rows": total_rows,
         "properties": properties or {},
     }
     _commit_snapshot(
@@ -778,7 +956,7 @@ def read_table(
         if not matching:
             raise ValueError(f"no snapshot {snapshot_id} in {path}")
         snap = matching[0]
-    files = snap["files"]
+    files = _snap_files(path, snap)
     if partition_filter:
         files = [f for f in files if _partition_match(f, partition_filter)]
     if stats_filter:
@@ -871,20 +1049,21 @@ def compact_table(
         raise FileNotFoundError(f"no table at {path}")
     snap = snapshots[-1]
     partition_by = snap["partition_by"]
+    snap_files = _snap_files(path, snap)
     if not partition_by:
         # unpartitioned table: the rewrite unit is the whole table —
         # bin-pack when crowded OR fold pending MoR delete entries
         # (without this, an unpartitioned table's equality/predicate
         # deletes would accumulate forever with no fold path)
         if (
-            len(snap["files"]) <= min_files_per_partition
+            len(snap_files) <= min_files_per_partition
             and not snap.get("delete_files")
         ):
             return snap
         # coalesce sets the output file count; write_table's sort_by
         # path re-clusters (repartitionByRange reads this partition
         # count as its target)
-        df = _scan_files(spark, snap, snap["files"]).coalesce(
+        df = _scan_files(spark, snap, snap_files).coalesce(
             max(min_files_per_partition, 1)
         )
         return write_table(
@@ -892,7 +1071,7 @@ def compact_table(
             sort_by=(snap.get("sort_by") or None),
         )
     by_part: dict[tuple, list[dict]] = {}
-    for f in snap["files"]:
+    for f in snap_files:
         by_part.setdefault(tuple(sorted(f["partition"].items())), []).append(f)
     # a partition qualifies when crowded OR when any of its files is
     # targeted by a merge-on-read delete entry — compaction is the
@@ -955,17 +1134,29 @@ def _evolution_base(path: str):
         # disk were written under the current names/types, so the
         # implicit mapping stamped below is exact
         schema, last = _assign_field_ids(schema)
-    files = [dict(f) for f in snap["files"]]
-    _stamp_field_mapping(
-        [f for f in files if "fields" not in f], schema,
-        snap["partition_by"],
-    )
-    return snapshots, snap, schema, last, files
+    files = _snap_files(path, snap)
+    if any("fields" not in f for f in files):
+        # stamping mutates entries: copy (the cache shares dicts), then
+        # rewrite into one fresh manifest — a one-time migration cost
+        # for legacy tables; evolved tables never hit this branch again
+        files = [dict(f) for f in files]
+        _stamp_field_mapping(
+            [f for f in files if "fields" not in f], schema,
+            snap["partition_by"],
+        )
+        refs = [_write_manifest(path, files)] if files else []
+    elif "manifest_list" in snap:
+        # the normal case: evolution is metadata-only, so the new
+        # snapshot carries every manifest BY REF — zero manifest bytes
+        refs = list(_snap_refs(path, snap))
+    else:  # legacy inline list, already stamped: migrate to a manifest
+        refs = [_write_manifest(path, files)] if files else []
+    return snapshots, snap, schema, last, files, refs
 
 
 def _commit_evolution(
-    path, snapshots, snap, schema, last, files, sort_by, delete_files,
-    kind: str, detail: dict,
+    path, snapshots, snap, schema, last, refs, total_rows, sort_by,
+    delete_files, kind: str, detail: dict,
 ) -> dict:
     new_snap = {
         "snapshot_id": snap["snapshot_id"] + 1,
@@ -976,9 +1167,9 @@ def _commit_evolution(
         "last_field_id": last,
         "partition_by": snap["partition_by"],
         "sort_by": sort_by,
-        "files": files,
+        "manifest_list": _write_manifest_list(path, refs),
         "delete_files": delete_files,
-        "total_rows": sum(f["rows"] for f in files),
+        "total_rows": total_rows,
         "properties": detail,
     }
     _commit_snapshot(path, snap["snapshot_id"], new_snap)
@@ -990,7 +1181,7 @@ def rename_column(path: str, old: str, new: str) -> dict:
     name; the field id carries the identity. Sort order and pending
     delete entries follow the rename; partition columns cannot be
     renamed (their name is baked into directory layout)."""
-    snapshots, snap, schema, last, files = _evolution_base(path)
+    snapshots, snap, schema, last, files, refs = _evolution_base(path)
     names = [f["name"] for f in schema["fields"]]
     if old not in names:
         raise ValueError(f"no column {old!r}")
@@ -1015,7 +1206,8 @@ def rename_column(path: str, old: str, new: str) -> dict:
             d["col"] = new
         delete_files.append(d)
     return _commit_evolution(
-        path, snapshots, snap, schema, last, files, sort_by, delete_files,
+        path, snapshots, snap, schema, last, refs,
+        sum(f["rows"] for f in files), sort_by, delete_files,
         "rename", {"renamed": {old: new}},
     )
 
@@ -1024,7 +1216,7 @@ def drop_column(path: str, name: str) -> dict:
     """Metadata-only column drop: the field stops being projected; no
     data file is touched. Raises when the column is load-bearing
     (partition spec, sort order, or a pending delete entry's key)."""
-    snapshots, snap, schema, last, files = _evolution_base(path)
+    snapshots, snap, schema, last, files, refs = _evolution_base(path)
     names = [f["name"] for f in schema["fields"]]
     if name not in names:
         raise ValueError(f"no column {name!r}")
@@ -1045,7 +1237,8 @@ def drop_column(path: str, name: str) -> dict:
     if not fields:
         raise ValueError("cannot drop the last column")
     return _commit_evolution(
-        path, snapshots, snap, {**schema, "fields": fields}, last, files,
+        path, snapshots, snap, {**schema, "fields": fields}, last, refs,
+        sum(f["rows"] for f in files),
         snap.get("sort_by") or [], list(snap.get("delete_files") or []),
         "drop", {"dropped": name},
     )
@@ -1058,7 +1251,7 @@ def widen_column(path: str, name: str, new_type: str) -> dict:
     """Metadata-only safe type promotion (Iceberg's allowed set:
     int->long, float->double). Old files keep their narrow physical
     type and are cast at read time via the field-id mapping."""
-    snapshots, snap, schema, last, files = _evolution_base(path)
+    snapshots, snap, schema, last, files, refs = _evolution_base(path)
     by_name = {f["name"]: f for f in schema["fields"]}
     if name not in by_name:
         raise ValueError(f"no column {name!r}")
@@ -1078,7 +1271,8 @@ def widen_column(path: str, name: str, new_type: str) -> dict:
         ],
     }
     return _commit_evolution(
-        path, snapshots, snap, schema, last, files,
+        path, snapshots, snap, schema, last, refs,
+        sum(f["rows"] for f in files),
         snap.get("sort_by") or [], list(snap.get("delete_files") or []),
         "widen", {"widened": {name: [cur_type, new_type]}},
     )
@@ -1120,6 +1314,7 @@ def upsert_rows(
     if not snapshots:
         raise FileNotFoundError(f"no table at {path}")
     snap = snapshots[-1]
+    snap_files = _snap_files(path, snap)
     table_cols = [f["name"] for f in snap["schema"]["fields"]]
     if sorted(updates.columns) != sorted(table_cols):
         raise ValueError(
@@ -1221,8 +1416,8 @@ def upsert_rows(
         def is_touched(f: dict) -> bool:
             return _stats_match(f, key_filter, snap["schema"])
 
-    touched = [f for f in snap["files"] if is_touched(f)]
-    carried = [f for f in snap["files"] if not is_touched(f)]
+    touched = [f for f in snap_files if is_touched(f)]
+    carried = [f for f in snap_files if not is_touched(f)]
 
     if strategy == "auto":
         # merge-on-read when the copy-on-write amplification is high:
@@ -1277,7 +1472,8 @@ def upsert_rows(
     _stamp_field_mapping(new_files, snap["schema"], partition_by)
 
     if strategy == "mor" and touched:
-        files = snap["files"] + new_files
+        # nothing leaves the table: previous manifests carry by ref
+        refs, files = _next_manifests(path, snap, set(), new_files)
         delete_files = _carry_delete_files(
             snap, {f["path"] for f in files}
         )
@@ -1295,11 +1491,13 @@ def upsert_rows(
         )
         properties = {
             "rewritten_files": 0,
-            "carried_files": len(snap["files"]),
+            "carried_files": len(snap_files),
             "delete_targets": len(touched),
         }
     else:
-        files = carried + new_files
+        refs, files = _next_manifests(
+            path, snap, {f["path"] for f in touched}, new_files
+        )
         delete_files = _carry_delete_files(snap, {f["path"] for f in files})
         properties = {
             "rewritten_files": len(touched),
@@ -1314,7 +1512,7 @@ def upsert_rows(
         "last_field_id": snap.get("last_field_id", 0),
         "partition_by": partition_by,
         "sort_by": sort_by,
-        "files": files,
+        "manifest_list": _write_manifest_list(path, refs),
         "delete_files": delete_files,
         "total_rows": sum(f["rows"] for f in files),
         "properties": properties,
@@ -1389,7 +1587,7 @@ def delete_range(
         raise ValueError(f"unsupported bound type for {col}: {hi!r}")
 
     dropped, carried, rewrite = [], [], []
-    for f in snap["files"]:
+    for f in _snap_files(path, snap):
         pcol = _physical_col(f, col, snap["schema"])
         st = (f.get("stats") or {}).get(pcol) if pcol else None
         if not st:
@@ -1450,10 +1648,17 @@ def delete_range(
         # merge-on-read: boundary files stay in place; the commit is a
         # predicate-delete entry targeting exactly those files, applied
         # as the null-safe complement filter at scan time and folded by
-        # the next compaction — a metadata-only row-level DELETE
-        files = carried + rewrite
+        # the next compaction — a metadata-only row-level DELETE.
+        # Only manifests holding a DROPPED file are rewritten.
+        refs, files = _next_manifests(
+            path, snap, {f["path"] for f in dropped}, []
+        )
     else:
-        files = carried + new_files
+        refs, files = _next_manifests(
+            path, snap,
+            {f["path"] for f in dropped} | {f["path"] for f in rewrite},
+            new_files,
+        )
     delete_files = _carry_delete_files(snap, {f["path"] for f in files})
     if strategy == "mor" and rewrite:
         lo_repr, lo_tag = _bound_repr(lo)
@@ -1478,7 +1683,7 @@ def delete_range(
         "last_field_id": snap.get("last_field_id", 0),
         "partition_by": partition_by,
         "sort_by": snap.get("sort_by") or [],
-        "files": files,
+        "manifest_list": _write_manifest_list(path, refs),
         "delete_files": delete_files,
         "total_rows": sum(f["rows"] for f in files),
         "properties": {
@@ -1538,12 +1743,24 @@ def _expire_locked(path: str, keep_last: int) -> dict:
     def _paths(s: dict) -> set[str]:
         # data files + equality-delete files (pred entries are pure
         # metadata, nothing on disk to manage)
-        return {f["path"] for f in s["files"]} | {
+        return {f["path"] for f in _snap_files(path, s)} | {
             d["path"] for d in s.get("delete_files") or [] if "path" in d
         }
 
     live = {p for s in kept for p in _paths(s)}
     dead = {p for s in dropped for p in _paths(s) if p not in live}
+    # manifest + manifest-list files referenced only by dropped
+    # snapshots die with them (a manifest list is per-snapshot, so a
+    # dropped snapshot's list always dies; its manifests only when no
+    # kept snapshot still carries them)
+    def _refs(s: dict) -> set[str]:
+        out = set(_snap_refs(path, s))
+        if s.get("manifest_list"):
+            out.add(s["manifest_list"])
+        return out
+
+    live_refs = {r for s in kept for r in _refs(s)}
+    dead_refs = {r for s in dropped for r in _refs(s) if r not in live_refs}
     # COMMIT the pruned manifest (tmp+rename in _save_snapshots) BEFORE
     # touching data files: a crash mid-delete then only leaks orphan
     # files the next expiry can't see (harmless), instead of leaving
@@ -1552,6 +1769,11 @@ def _expire_locked(path: str, keep_last: int) -> dict:
     _save_snapshots(path, kept)
     for fpath in sorted(dead):
         if os.path.exists(fpath):
+            os.remove(fpath)
+    for ref in sorted(dead_refs):
+        fpath = os.path.join(_manifest_dir(path), ref)
+        _MANIFEST_CACHE.pop(fpath, None)
+        with contextlib.suppress(OSError):
             os.remove(fpath)
     return {"removed_snapshots": len(dropped), "deleted_files": len(dead)}
 
@@ -1603,9 +1825,11 @@ def read_incremental(
             "rewritten or removed, run a full read of the target "
             "snapshot instead"
         )
-    base = {f["path"] for f in by_id[from_snapshot]["files"]}
+    base = {f["path"] for f in _snap_files(path, by_id[from_snapshot])}
     target = by_id[to_snapshot]
-    added = [f for f in target["files"] if f["path"] not in base]
+    added = [
+        f for f in _snap_files(path, target) if f["path"] not in base
+    ]
     return _scan_files(spark, target, added)
 
 
@@ -1625,13 +1849,30 @@ def remove_orphan_files(
     if not snapshots:
         raise FileNotFoundError(f"no table at {path}")
     live: set[str] = set()
+    live_refs: set[str] = set()
     for s in snapshots:
-        live |= {f["path"] for f in s["files"]}
+        live |= {f["path"] for f in _snap_files(path, s)}
         live |= {
             d["path"] for d in s.get("delete_files") or [] if "path" in d
         }
+        live_refs |= set(_snap_refs(path, s))
+        if s.get("manifest_list"):
+            live_refs.add(s["manifest_list"])
     now = time.time()
     orphans: list[str] = []
+    # manifests written by a crashed commit (file landed, snapshot
+    # never did) are unreferenced by every snapshot — same age guard
+    mdir = _manifest_dir(path)
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if name in live_refs or not name.endswith(".json"):
+                continue
+            fpath = os.path.join(mdir, name)
+            try:
+                if now - os.path.getmtime(fpath) >= min_age_s:
+                    orphans.append(fpath)
+            except OSError:
+                continue
     for sub in ("data", "deletes"):
         root_dir = os.path.join(path, sub)
         for root, _dirs, names in os.walk(root_dir):
@@ -1684,7 +1925,7 @@ def table_files(spark: SparkSession, path: str) -> DataFrame:
             json.dumps(f.get("stats") or {}, sort_keys=True),
             list(f.get("nullfree") or []),
         )
-        for f in snapshots[-1]["files"]
+        for f in _snap_files(path, snapshots[-1])
     ]
     return spark.createDataFrame(
         rows,
@@ -1705,7 +1946,7 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
             s["snapshot_id"],
             s["ts"],
             s["mode"],
-            len(s["files"]),
+            len(_snap_files(path, s)),
             s["total_rows"],
             len(s.get("delete_files") or []),
         )
@@ -1727,13 +1968,10 @@ def stats_pruned_count(
     snap = snapshots[-1] if snapshot_id is None else [
         s for s in snapshots if s["snapshot_id"] == snapshot_id
     ][0]
-    total = len(snap["files"])
+    files = _snap_files(path, snap)
+    total = len(files)
     selected = len(
-        [
-            f
-            for f in snap["files"]
-            if _stats_match(f, stats_filter, snap["schema"])
-        ]
+        [f for f in files if _stats_match(f, stats_filter, snap["schema"])]
     )
     return selected, total
 
@@ -1746,8 +1984,9 @@ def pruned_file_count(
     snap = snapshots[-1] if snapshot_id is None else [
         s for s in snapshots if s["snapshot_id"] == snapshot_id
     ][0]
-    total = len(snap["files"])
+    files = _snap_files(path, snap)
+    total = len(files)
     selected = len(
-        [f for f in snap["files"] if _partition_match(f, partition_filter)]
+        [f for f in files if _partition_match(f, partition_filter)]
     )
     return selected, total

@@ -65,10 +65,10 @@ def test_stream_edges_match_batch(spark, tmp_path, tagger_bc):
     # one merge file per touched bucket per commit (r5 fix: the agg's
     # shuffle fan-out used to land ~32 tiny files per bucket, and every
     # later batch paid their footer reads + scan planning)
-    from remediner_spark.sources.table import _load_snapshots
+    from remediner_spark.sources.table import _load_snapshots, _snap_files
 
     per_bucket: dict[str, int] = {}
-    for f in _load_snapshots(table)[-1]["files"]:
+    for f in _snap_files(table, _load_snapshots(table)[-1]):
         b = f["partition"]["bucket"]
         per_bucket[b] = per_bucket.get(b, 0) + 1
     assert max(per_bucket.values()) == 1
@@ -106,7 +106,7 @@ def test_stream_edges_match_batch(spark, tmp_path, tagger_bc):
     # restart: re-running against the same checkpoint with an
     # exhausted source produces no new batches and therefore no new
     # snapshots; the (scope, batch_id) marker rides in the snapshots
-    from remediner_spark.sources.table import _load_snapshots
+    from remediner_spark.sources.table import _load_snapshots, _snap_files
 
     last_props = _load_snapshots(table)[-1]["properties"]
     assert last_props["scope"] == ckpt and last_props["batch_id"] >= 0

@@ -6,6 +6,7 @@ import pytest
 
 from remediner_spark.sources.corpus import generate_pages
 from remediner_spark.sources.table import (
+    _snap_files,
     pruned_file_count,
     read_table,
     table_snapshots,
@@ -94,8 +95,8 @@ def test_replace_partitions_and_compaction(spark, tmp_path, pages_pdf):
     snaps = table_snapshots(path)
     pre_files = {
         f["path"] for f in __import__(
-            "remediner_spark.sources.table", fromlist=["_load_snapshots"]
-        )._load_snapshots(path)[-1]["files"]
+            "remediner_spark.sources.table", fromlist=["live_files"]
+        ).live_files(path)
     }
     assert len(pre_files) > len(set(before["lang"]))
 
@@ -109,8 +110,8 @@ def test_replace_partitions_and_compaction(spark, tmp_path, pages_pdf):
     )
     # one file per compacted lang partition
     post = __import__(
-        "remediner_spark.sources.table", fromlist=["_load_snapshots"]
-    )._load_snapshots(path)[-1]["files"]
+        "remediner_spark.sources.table", fromlist=["live_files"]
+    ).live_files(path)
     per_part = {}
     for f in post:
         per_part.setdefault(f["partition"]["lang"], 0)
@@ -135,7 +136,7 @@ def test_expire_snapshots_deletes_orphans(spark, tmp_path, pages_pdf):
     compact_table(spark, path)
     from remediner_spark.sources.table import _load_snapshots
 
-    old_files = {f["path"] for f in _load_snapshots(path)[0]["files"]}
+    old_files = {f["path"] for f in _snap_files(path, _load_snapshots(path)[0])}
     res = expire_snapshots(path, keep_last=1)
     assert res["removed_snapshots"] == 3
     assert res["deleted_files"] > 0
@@ -235,7 +236,7 @@ def test_expire_commits_manifest_before_deleting(tmp_path, spark, pages_pdf, mon
     # manifest already pruned: every listed file exists, table readable
     snaps = T._load_snapshots(path)
     assert len(snaps) == 1
-    assert all(os.path.exists(f["path"]) for f in snaps[-1]["files"])
+    assert all(os.path.exists(f["path"]) for f in _snap_files(path, snaps[-1]))
     assert read_table(spark, path).count() == 120
     # a second expiry is a no-op on snapshots (files already orphaned)
     res = T.expire_snapshots(path, keep_last=1)
@@ -448,7 +449,7 @@ def test_upsert_rows_copy_on_write(spark, tmp_path):
         spark.createDataFrame(pdf).repartition(8), path,
         sort_by=["doc_id"],
     )
-    pre_files = {f["path"] for f in _load_snapshots(path)[-1]["files"]}
+    pre_files = {f["path"] for f in _snap_files(path, _load_snapshots(path)[-1])}
 
     ups = pd.DataFrame(
         {"doc_id": [100, 101, 5000], "val": [-1, -2, -3]}
@@ -459,7 +460,7 @@ def test_upsert_rows_copy_on_write(spark, tmp_path):
     # narrow key range + clustered files: most files carried untouched
     assert snap["properties"]["carried_files"] >= 5
     assert snap["properties"]["rewritten_files"] <= 3
-    post_files = {f["path"] for f in _load_snapshots(path)[-1]["files"]}
+    post_files = {f["path"] for f in _snap_files(path, _load_snapshots(path)[-1])}
     assert len(pre_files & post_files) == snap["properties"]["carried_files"]
 
     got = read_table(spark, path).toPandas().set_index("doc_id")
@@ -553,7 +554,7 @@ def test_delete_range_metadata_only_drop(spark, tmp_path):
     write_table(
         spark.createDataFrame(pdf).repartition(8), path, sort_by=["doc_id"]
     )
-    pre_files = {f["path"] for f in _load_snapshots(path)[-1]["files"]}
+    pre_files = {f["path"] for f in _snap_files(path, _load_snapshots(path)[-1])}
 
     snap = delete_range(spark, path, "doc_id", 200, 700)
     props = snap["properties"]
@@ -561,7 +562,7 @@ def test_delete_range_metadata_only_drop(spark, tmp_path):
     assert props["carried_files"] >= 2  # files fully below/above
     assert props["rewritten_files"] <= 4
     # carried files are literally the same paths
-    post_files = {f["path"] for f in _load_snapshots(path)[-1]["files"]}
+    post_files = {f["path"] for f in _snap_files(path, _load_snapshots(path)[-1])}
     assert len(pre_files & post_files) == props["carried_files"]
 
     got = read_table(spark, path).toPandas()
@@ -616,7 +617,7 @@ def test_delete_range_nullfree_still_drops_metadata_only(spark, tmp_path):
     path = str(tmp_path / "tbl")
     pdf = pd.DataFrame({"k": range(1000), "val": range(1000)})
     write_table(spark.createDataFrame(pdf).repartition(8), path, sort_by=["k"])
-    for f in _load_snapshots(path)[-1]["files"]:
+    for f in _snap_files(path, _load_snapshots(path)[-1]):
         assert "k" in f["nullfree"]
     snap = delete_range(spark, path, "k", 200, 700)
     assert snap["properties"]["dropped_files"] >= 2
@@ -684,8 +685,8 @@ def test_upsert_mor_equals_cow(spark, tmp_path):
             assert snap["properties"]["rewritten_files"] == 0
             assert snap["properties"]["delete_targets"] >= 1
             # every pre-merge data file is still in the manifest
-            pre = {f["path"] for f in _load_snapshots(path)[0]["files"]}
-            post = {f["path"] for f in snap["files"]}
+            pre = {f["path"] for f in _snap_files(path, _load_snapshots(path)[0])}
+            post = {f["path"] for f in _snap_files(path, snap)}
             assert pre <= post
             assert len(snap["delete_files"]) == 1
         results[strat] = (
@@ -903,11 +904,11 @@ def test_rename_column_metadata_only(spark, tmp_path):
     pdf = pd.DataFrame({"doc_id": range(100), "val": range(100)})
     write_table(spark.createDataFrame(pdf).repartition(2), path,
                 sort_by=["doc_id"])
-    pre_files = {f["path"] for f in _load_snapshots(path)[-1]["files"]}
+    pre_files = {f["path"] for f in _snap_files(path, _load_snapshots(path)[-1])}
 
     snap = rename_column(path, "val", "score")
     assert snap["mode"] == "evolve-rename"
-    assert {f["path"] for f in snap["files"]} == pre_files  # no rewrite
+    assert {f["path"] for f in _snap_files(path, snap)} == pre_files  # no rewrite
     got = read_table(spark, path).toPandas()
     assert "score" in got.columns and "val" not in got.columns
     assert got.sort_values("doc_id")["score"].tolist() == list(range(100))
@@ -1364,7 +1365,7 @@ def test_compact_unpartitioned_folds_deletes(spark, tmp_path):
     )
     snap = compact_table(spark, path)
     assert not snap["delete_files"]
-    assert len(snap["files"]) <= 2
+    assert len(_snap_files(path, snap)) <= 2
     assert snap["sort_by"] == ["doc_id"]
     after = (
         read_table(spark, path).toPandas().sort_values("doc_id")
@@ -1575,3 +1576,127 @@ def test_compact_folds_emptied_partition(spark, tmp_path):
     # no re-qualification: the next compaction has nothing to do
     snap2 = compact_table(spark, path, min_files_per_partition=1)
     assert snap2["snapshot_id"] == snap["snapshot_id"]
+
+
+def test_append_writes_o1_manifest_bytes(spark, tmp_path):
+    """Manifest-list commits: a 1-file append to an N-file table writes
+    one 1-entry manifest + one manifest list + one O(1) snapshot
+    record; every pre-existing manifest file is untouched (carried by
+    ref), at ANY table size (the r5 verdict's O(total files x history)
+    rewrite is gone)."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from remediner_spark.sources.table import _manifest_dir, live_files
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame({"doc_id": range(200), "val": range(200)})
+    write_table(spark.createDataFrame(pdf).repartition(20), path)
+    assert len(live_files(path)) == 20
+    one = spark.createDataFrame(pd.DataFrame({"doc_id": [990], "val": [0]}))
+
+    def manifest_state():
+        d = _manifest_dir(path)
+        return {
+            n: (os.path.getsize(os.path.join(d, n)),
+                os.path.getmtime(os.path.join(d, n)))
+            for n in os.listdir(d)
+        }
+
+    def snapjson_size():
+        return os.path.getsize(
+            os.path.join(path, "_metadata", "snapshots.json")
+        )
+
+    deltas, manifest_sizes = [], []
+    for _ in range(2):
+        before, sz0 = manifest_state(), snapjson_size()
+        write_table(one, path, mode="append")
+        after = manifest_state()
+        # every pre-existing manifest file is byte-identical
+        assert all(after[n] == st for n, st in before.items())
+        new = [n for n in after if n not in before]
+        new_m = [n for n in new if n.startswith("m-")]
+        new_ml = [n for n in new if n.startswith("ml-")]
+        assert len(new_m) == 1 and len(new_ml) == 1 and len(new) == 2
+        entries = json.load(
+            open(os.path.join(_manifest_dir(path), new_m[0]))
+        )
+        assert len(entries) == 1  # exactly the appended file
+        manifest_sizes.append(os.path.getsize(
+            os.path.join(_manifest_dir(path), new_m[0])
+        ))
+        deltas.append(snapjson_size() - sz0)
+
+    # grow the table by 30 more commits, then re-measure one append
+    for _ in range(30):
+        write_table(one, path, mode="append")
+    before, sz0 = manifest_state(), snapjson_size()
+    write_table(one, path, mode="append")
+    after = manifest_state()
+    assert all(after[n] == st for n, st in before.items())
+    new_m = [n for n in after if n not in before and n.startswith("m-")]
+    entries = json.load(open(os.path.join(_manifest_dir(path), new_m[0])))
+    assert len(entries) == 1
+    big_manifest = os.path.getsize(
+        os.path.join(_manifest_dir(path), new_m[0])
+    )
+    big_delta = snapjson_size() - sz0
+    # new-manifest bytes independent of table size; the snapshot record
+    # grows only by ~one 40-byte manifest ref vs the 22-file table
+    assert big_manifest <= 2 * manifest_sizes[0]
+    assert big_delta <= deltas[0] + 300
+    assert len(live_files(path)) == 53
+    assert read_table(spark, path).count() == 233
+
+
+def test_legacy_inline_manifest_migrates(spark, tmp_path):
+    """Tables whose snapshots embed an inline "files" list (the pre-r6
+    layout) stay readable, and the next write migrates them to manifest
+    lists without changing results."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        _load_snapshots,
+        _snap_files,
+        upsert_rows,
+    )
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame({"doc_id": range(100), "val": range(100)})
+    write_table(spark.createDataFrame(pdf).repartition(4), path)
+
+    # rewrite snapshots.json into the legacy inline shape
+    sfile = os.path.join(path, "_metadata", "snapshots.json")
+    snaps = _load_snapshots(path)
+    for s in snaps:
+        s["files"] = _snap_files(path, s)
+        s.pop("manifest_list", None)
+    with open(sfile, "w") as fh:
+        json.dump(snaps, fh)
+
+    assert read_table(spark, path).count() == 100  # legacy read path
+
+    # append migrates: new tip uses a manifest list, data intact
+    write_table(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [500], "val": [1]})),
+        path, mode="append",
+    )
+    tip = _load_snapshots(path)[-1]
+    assert "manifest_list" in tip and "files" not in tip
+    assert read_table(spark, path).count() == 101
+
+    # subtractive op on a migrated table still targets correctly
+    upsert_rows(
+        spark, path,
+        spark.createDataFrame(pd.DataFrame({"doc_id": [10], "val": [-1]})),
+        ["doc_id"], strategy="cow",
+    )
+    got = read_table(spark, path).toPandas()
+    assert len(got) == 101
+    assert got.set_index("doc_id").loc[10, "val"] == -1
