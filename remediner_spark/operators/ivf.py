@@ -100,10 +100,31 @@ def _round_half_up(x: float) -> float:
     return (f + 1 if scaled - f >= 0.5 else f) / 10**_D2_DP
 
 
+def probe_cells_df(queries: DataFrame, centers: list[list[float]]) -> DataFrame:
+    """(query_id, cell): the NPROBE nearest cells per query vector,
+    computed IN THE PLAN — array_sort over the same rounded (d2, cell)
+    structs assignment uses, sliced to NPROBE, exploded. Map-side
+    against broadcast centroid literals; scales with the query table
+    (the former driver-side collect+loop did not — r5 verdict #4).
+    ``queries`` must carry (vec_id, v)."""
+    return queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.slice(
+                F.array_sort(_d2_cell_structs(F.col("v"), centers)),
+                1,
+                NPROBE,
+            )
+        ).alias("_pc"),
+    ).select("query_id", F.col("_pc.cell").alias("cell"))
+
+
 def _query_probe_cells(centers: list[list[float]], qv: list[float]) -> list[int]:
-    """NPROBE nearest cells for one query vector. Strictly sequential
-    accumulation + 9dp HALF_UP rounding: bitwise-identical to the Spark
-    aggregate and DuckDB list_sum derivations."""
+    """NPROBE nearest cells for one query vector — the DRIVER-SIDE
+    DIFFERENTIAL REFEREE for probe_cells_df (tests/test_ivf.py pins
+    plan == driver). Strictly sequential accumulation + 9dp HALF_UP
+    rounding: bitwise-identical to the Spark aggregate and DuckDB
+    list_sum derivations."""
     ds = []
     for cell, c in enumerate(centers):
         acc = 0.0
@@ -140,16 +161,9 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell", F.array_min(_d2_cell_structs(F.col("v"), centers))["cell"]
     ).cache()
     queries = assigned.filter(F.col("vec_id") < N_QUERIES)
-    # probe-cell table: (query vec_id, cell) — tiny, broadcastable
-    q_rows = queries.select("vec_id", "v").collect()
-    probe = spark.createDataFrame(
-        [
-            (int(r["vec_id"]), cell)
-            for r in q_rows
-            for cell in _query_probe_cells(centers, r["v"])
-        ],
-        "query_id long, cell int",
-    )
+    # probe-cell table: (query vec_id, cell) — small (N_QUERIES x
+    # NPROBE rows), broadcast into the candidate join below
+    probe = probe_cells_df(queries.select("vec_id", "v"), centers)
     candidates = (
         F.broadcast(probe)
         .join(assigned.alias("e"), "cell")

@@ -36,3 +36,35 @@ def test_ivf_deterministic(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_probe_cells_plan_matches_driver(spark):
+    """The plan-side NPROBE selection (probe_cells_df: array_sort over
+    rounded (d2, cell) structs) equals the driver-side sequential-sum
+    referee per query — the exactness that lets the DuckDB oracle
+    re-derive probing relationally."""
+    from pyspark.sql import functions as F
+
+    from remediner_spark.operators.ivf import (
+        _fit_centroids,
+        _query_probe_cells,
+        probe_cells_df,
+    )
+    from remediner_spark.operators.similarity import N_QUERIES, _as_double
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    centers = _fit_centroids(spark, emb)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    got = {
+        (r["query_id"], r["cell"])
+        for r in probe_cells_df(queries, centers).collect()
+    }
+    want = {
+        (int(r["vec_id"]), cell)
+        for r in queries.collect()
+        for cell in _query_probe_cells(centers, r["v"])
+    }
+    assert got == want
