@@ -130,22 +130,104 @@ def _cpu_probe() -> float:
     return time.perf_counter() - t0
 
 
+def _tree_cpu_seconds() -> float:
+    """User+sys CPU consumed by THIS process and every descendant —
+    the JVM and the Python UDF workers os.times() can't see — plus
+    already-reaped children (cutime/cstime), summed from /proc. The
+    per-section delta is the work WE did; compared against the host's
+    total busy delta it makes external load visible in the artifact
+    (the r5 verdict's unfalsifiable-walls finding: a uniformly loaded
+    host calibrated its slowness into the burst guard and reported
+    clean)."""
+    clk = os.sysconf("SC_CLK_TCK")
+    procs: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as fh:
+                data = fh.read().decode("ascii", "replace")
+        except OSError:
+            continue  # process exited mid-walk
+        # comm can contain spaces/parens: fields start after last ')'
+        fields = data[data.rindex(")") + 2:].split()
+        ppid = int(fields[1])
+        ticks = sum(int(fields[i]) for i in (11, 12, 13, 14))
+        procs[int(d)] = (ppid, ticks)
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _t) in procs.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack, seen = 0, [os.getpid()], set()
+    while stack:
+        p = stack.pop()
+        if p in seen or p not in procs:
+            continue
+        seen.add(p)
+        total += procs[p][1]
+        stack.extend(children.get(p, []))
+    return total / clk
+
+
+def _host_cpu_busy() -> float:
+    """Host-wide busy CPU seconds (all cores, every process) from
+    /proc/stat — ours plus everyone else's."""
+    with open("/proc/stat") as fh:
+        vals = [int(x) for x in fh.readline().split()[1:]]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+    return (sum(vals) - idle) / os.sysconf("SC_CLK_TCK")
+
+
+def _timed(fn):
+    """(wall, tree_cpu_delta, host_other_cpu_delta) for one leg.
+    host_other ~ 0 on an idle host; a large value is positive proof of
+    external load during THIS leg, independent of any calibration."""
+    c0, h0 = _tree_cpu_seconds(), _host_cpu_busy()
+    t0 = time.time()
+    fn()
+    wall = time.time() - t0
+    c1, h1 = _tree_cpu_seconds(), _host_cpu_busy()
+    cpu = max(c1 - c0, 0.0)
+    return wall, cpu, max(h1 - h0 - cpu, 0.0)
+
+
+class _BestLeg:
+    """min-of-k by wall, carrying that leg's cpu evidence along."""
+
+    def __init__(self) -> None:
+        self.wall = float("inf")
+        self.cpu = self.other = 0.0
+
+    def add(self, wall: float, cpu: float, other: float) -> None:
+        if wall < self.wall:
+            self.wall, self.cpu, self.other = wall, cpu, other
+
+    def run(self, fn) -> None:
+        self.add(*_timed(fn))
+
+
 _BURST_FACTOR = 1.5
 
 
 class _BurstGuard:
     """Detects host-load bursts around a timed section and grants one
-    re-run. Calibrated at start (min-of-3 probe on the idle host)."""
+    re-run. Calibrated at start (min-of-3 probe on the idle host).
+    Every post-section probe's ABSOLUTE wall is recorded (self.probes)
+    so a reader can normalize walls even when the host was uniformly
+    loaded for the whole run — a state the relative threshold cannot
+    see because calibration absorbs it (r5 verdict)."""
 
     def __init__(self) -> None:
         self.base = min(_cpu_probe() for _ in range(3))
         self.retries: list[str] = []
+        self.probes: dict[str, float] = {}
 
     def corrupted(self, section: str) -> bool:
+        p = _cpu_probe()
+        self.probes[section] = round(p, 4)
         if section in self.retries:
             return False  # one re-run per section — never loop on a
             # persistently-loaded host, just record the evidence
-        if _cpu_probe() <= _BURST_FACTOR * self.base:
+        if p <= _BURST_FACTOR * self.base:
             return False
         self.retries.append(section)
         print(f"# burst detected after {section}; re-running",
@@ -202,31 +284,24 @@ def main() -> int:
     guard = _BurstGuard()
     # warmup x2: worker spawn + JVM JIT need more than one pass to
     # reach steady state (measured: run1 ~1.6x slower than run3)
-    kg_run(headline_dir)
+    n_triples = kg_run(headline_dir)
     kg_run(headline_dir)
     timed_runs = int(os.environ.get("SPARK_GRAFT_TIMED_RUNS", "3"))
-    h_sec = float("inf")
+    h_best = _BestLeg()
     for _ in range(timed_runs):  # min-of-k: steady state, not scheduler luck
-        t0 = time.time()
-        n_triples = kg_run(headline_dir)
-        h_sec = min(h_sec, time.time() - t0)
+        h_best.run(lambda: kg_run(headline_dir))
     if guard.corrupted("headline"):
-        t0 = time.time()
-        n_triples = kg_run(headline_dir)
-        h_sec = min(h_sec, time.time() - t0)
+        h_best.run(lambda: kg_run(headline_dir))
+    h_sec = h_best.wall
     triples_per_sec = n_triples / h_sec if h_sec else 0.0
 
     # series wall on the r1-r4 corpus (already warm: same code path)
     kg_run()
-    kg_sec = float("inf")
+    kg_best = _BestLeg()
     for _ in range(timed_runs):
-        t0 = time.time()
-        kg_run()
-        kg_sec = min(kg_sec, time.time() - t0)
+        kg_best.run(kg_run)
     if guard.corrupted("kg_triple_extraction"):
-        t0 = time.time()
-        kg_run()
-        kg_sec = min(kg_sec, time.time() - t0)
+        kg_best.run(kg_run)
 
     from remediner_spark.session import release_caches
 
@@ -237,7 +312,8 @@ def main() -> int:
     # entries matched the timed run's logical plan, so Spark served
     # extraction from cache — kg_graph_pipeline_warm keeps that series
     # comparable; see SCALE.md.)
-    graph_sec = graph_warm_sec = None
+    graph_best = None
+    graph_warm_sec = None
     if not os.environ.get("SPARK_GRAFT_KG_ONLY"):
         from remediner_spark.operators.graph import build_graph
         from remediner_spark.sources.corpus import generate_entity_dictionary
@@ -254,13 +330,11 @@ def main() -> int:
         t0 = time.time()
         graph_run()
         graph_warm_sec = round(time.time() - t0, 3)
-        graph_sec = float("inf")
+        graph_best = _BestLeg()
         legs = 2
         while legs:
             release_caches(spark)
-            t0 = time.time()
-            graph_run()
-            graph_sec = min(graph_sec, round(time.time() - t0, 3))
+            graph_best.run(graph_run)
             legs -= 1
             if not legs and guard.corrupted("kg_graph_pipeline"):
                 legs = 1
@@ -271,7 +345,7 @@ def main() -> int:
     # -> per-batch edge MERGE into the Iceberg-style table, drained
     # with Trigger.AvailableNow: 24 staged corpus files = 3 micro-
     # batches end-to-end, including snapshot commits + replay markers.
-    stream_sec = None
+    stream_best = None
     if not os.environ.get("SPARK_GRAFT_KG_ONLY"):
         import glob
         import shutil
@@ -301,12 +375,10 @@ def main() -> int:
 
         stream_run()  # warmup
         release_caches(spark)
-        stream_sec = float("inf")
+        stream_best = _BestLeg()
         legs = 2
         while legs:
-            t0 = time.time()
-            stream_run()
-            stream_sec = min(stream_sec, time.time() - t0)
+            stream_best.run(stream_run)
             release_caches(spark)
             legs -= 1
             if not legs and guard.corrupted("stream_edge_merge"):
@@ -315,7 +387,30 @@ def main() -> int:
     # --- per-query timings over the provided tables ---
     # (skipped in scaling-curve legs: SPARK_GRAFT_KG_ONLY=1)
     q_times: dict[str, float] = {}
+    q_cpu: dict[str, float] = {}
+    q_host_other: dict[str, float] = {}
+
+    def record(name: str, best: _BestLeg) -> None:
+        q_times[name] = round(best.wall, 3)
+        q_cpu[name] = round(best.cpu, 3)
+        q_host_other[name] = round(best.other, 3)
+
     if not os.environ.get("SPARK_GRAFT_KG_ONLY"):
+        # PQ codebook FIT timed as its own labeled wall (r5 verdict #5:
+        # the fit is memoized per process, so without this split the
+        # 4 KMeans fits land inside whichever sim_topk_pq leg runs
+        # first and search-path regressions hide behind fit noise).
+        # Priming the memo here makes every sim_topk_pq leg below pure
+        # encode + ADC shortlist + rerank — the per-query-batch path.
+        from remediner_spark.operators.pq import _emb, _fit_codebooks
+
+        fit_best = _BestLeg()
+        fit_best.run(
+            lambda: _fit_codebooks(spark, _emb(spark, sf_dir),
+                                   cache_key=sf_dir)
+        )
+        record("pq_codebook_fit", fit_best)
+
         queries = entrymod.queries()
         for name in BENCH_QUERIES:
             # time construction + execution together: some operators
@@ -338,23 +433,22 @@ def main() -> int:
             # is the query's honest cost.
             run_query()  # warmup
             release_caches(spark)
-            wall = float("inf")
+            best = _BestLeg()
             legs = 2
             while legs:
-                t0 = time.time()
-                run_query()
-                wall = min(wall, time.time() - t0)
+                best.run(run_query)
                 release_caches(spark)
                 legs -= 1
                 if not legs and guard.corrupted(name):
                     legs = 1
-            q_times[name] = round(wall, 3)
-    q_times["kg_triple_extraction"] = round(kg_sec, 3)
-    if graph_sec is not None:
-        q_times["kg_graph_pipeline"] = graph_sec
+            record(name, best)
+    record("kg_triple_extraction", kg_best)
+    record("headline", h_best)
+    if graph_best is not None:
+        record("kg_graph_pipeline", graph_best)
         q_times["kg_graph_pipeline_warm"] = graph_warm_sec
-    if stream_sec is not None:
-        q_times["stream_edge_merge"] = round(stream_sec, 3)
+    if stream_best is not None:
+        record("stream_edge_merge", stream_best)
 
     result = {
         "metric": "triples_per_sec",
@@ -368,9 +462,26 @@ def main() -> int:
         "n_pages": h_pages,
         "series_n_pages": n_pages,
         "n_triples": n_triples,
-        # noisy-neighbor evidence: sections whose timed window a
-        # host-load burst corrupted and that were re-run (SCALE.md)
+        # noisy-neighbor evidence, three independent signals so the
+        # artifact itself proves or disproves host load (r5 verdict:
+        # relative-only detection calibrates uniform load in):
+        # 1. burst_retries — sections re-run after a RELATIVE probe
+        #    excursion (>1.5x calibration);
+        # 2. probe_base + probes — the ABSOLUTE wall of the fixed
+        #    pure-python probe at calibration and after each section
+        #    (~0.105 s on this host idle; uniformly higher values =
+        #    uniformly loaded host, walls scale accordingly);
+        # 3. q_cpu / q_host_other — per-query: CPU burned by OUR
+        #    process tree vs busy CPU on the host that was NOT ours
+        #    during the same (best) leg. host_other near zero proves
+        #    the wall was measured on an otherwise-idle machine.
         "burst_retries": guard.retries,
+        "probe_base": round(guard.base, 4),
+        "probes": guard.probes,
+        "q_cpu": q_cpu,
+        "q_host_other": q_host_other,
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        "host_cores": os.cpu_count(),
     }
     print(json.dumps(result))
     spark.stop()
