@@ -156,11 +156,13 @@ def real_decode(payload: bytes):
     media libraries, dispatched on magic bytes:
 
     * netpbm P6/P5 and 24-bit BI_RGB BMP -> uint8 pixels [h, w, c]
+    * PNG (8-bit gray/RGB/RGBA, non-interlaced; zlib inflate + the
+      five scanline filters) -> uint8 pixels [h, w, c]
     * RIFF/WAVE 16-bit PCM -> (sample_rate, n_channels, int16 [n, ch])
 
-    Compressed codecs (JPEG/PNG/MP3/video) still require external
-    libraries; swap PIL/ffmpeg into the same mapInPandas UDF in a real
-    deployment."""
+    Remaining compressed codecs (JPEG/MP3/video) still require
+    external libraries; swap PIL/ffmpeg into the same mapInPandas UDF
+    in a real deployment."""
     magic = bytes(payload[:4])
     if magic[:2] in (b"P6", b"P5"):
         return _parse_netpbm(bytes(payload))
@@ -170,9 +172,11 @@ def real_decode(payload: bytes):
         return _parse_wav(bytes(payload))
     if magic == b"YUV4":
         return _parse_y4m(bytes(payload))
+    if bytes(payload[:8]) == _PNG_SIG:
+        return _parse_png(bytes(payload))
     raise ValueError(
         f"unsupported media magic {magic!r}: real_decode handles "
-        "uncompressed PPM/PGM/BMP/WAV/Y4M; compressed codecs need "
+        "PPM/PGM/BMP/PNG/WAV/Y4M; other compressed codecs need "
         "PIL/ffmpeg"
     )
 
@@ -597,9 +601,219 @@ SELECT doc_id,
 FROM dims"""
 
 
+# ------------------------------------------------- PNG decode gate
+# The first COMPRESSED format in the family: PNG is stdlib-feasible
+# (zlib inflate + the five scanline filters), and unlike netpbm/BMP it
+# is a format a Common-Crawl-style corpus actually contains. 8-bit
+# gray / RGB / RGBA, non-interlaced; Adam7, palette, and 16-bit depth
+# raise loudly (same contract as the other parsers: never guess).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, RGB, RGBA
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    """One framed chunk: length + type + data + CRC32(type||data)."""
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) with CRC verification; stops at IEND."""
+    pos = 8
+    while pos + 12 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        ctype = payload[pos + 4:pos + 8]
+        end = pos + 8 + ln
+        if end + 4 > len(payload):
+            raise ValueError("png: truncated chunk")
+        data = payload[pos + 8:end]
+        crc = int.from_bytes(payload[end:end + 4], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png: bad CRC in {ctype!r} chunk")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        pos = end + 4
+    raise ValueError("png: missing IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4) — exact integer form."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _parse_png(payload: bytes) -> np.ndarray:
+    """PNG -> uint8 pixels [h, w, channels]. Chunk CRCs verified, IDAT
+    concatenated + inflated, scanlines unfiltered row-by-row (None/Up
+    vectorized; Sub/Average/Paeth carry an intra-row byte dependency,
+    walked sequentially per the spec)."""
+    if bytes(payload[:8]) != _PNG_SIG:
+        raise ValueError("png: bad signature")
+    chunks = _png_chunks(payload)
+    ctype, ihdr = next(chunks)
+    if ctype != b"IHDR" or len(ihdr) != 13:
+        raise ValueError("png: first chunk must be a 13-byte IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
+    if bit_depth != 8:
+        raise ValueError(f"png: only 8-bit depth supported, got {bit_depth}")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"png: color type {color_type} unsupported "
+            "(8-bit gray/RGB/RGBA only; palette needs PLTE handling)"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError("png: unknown compression/filter method")
+    if interlace != 0:
+        raise ValueError("png: Adam7 interlace not supported")
+    idat = b"".join(d for t, d in chunks if t == b"IDAT")
+    if not idat:
+        raise ValueError("png: no IDAT data")
+    raw = zlib.decompress(idat)
+    nch = _PNG_CHANNELS[color_type]
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"png: inflated size {len(raw)} != {h * (stride + 1)}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for r in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int64)
+        pos += stride
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) % 256
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                b = prev[i]
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(
+                        int(a), int(b),
+                        int(prev[i - nch]) if i >= nch else 0,
+                    )
+                cur[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"png: unknown filter type {ft}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, nch)
+
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    # distinct from _ppm_dims so a cache/dispatch mixup between the
+    # two real-decode gates cannot silently pass
+    return (doc_id % 9) + 2, ((doc_id // 9) % 7) + 2  # (w, h)
+
+
+def encode_png_bytes(doc_id: int) -> bytes:
+    """Deterministic synthetic RGB PNG: pixel (r, c, ch) = (doc_id*31 +
+    r*7 + c*3 + ch) % 256 (the oracle's closed form), filter type
+    row % 5 — every row exercises a different filter, so decoding the
+    corpus covers None/Sub/Up/Average/Paeth against real zlib streams."""
+    w, h = _png_dims(doc_id)
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    px = ((doc_id * 31 + r * 7 + c * 3 + ch) % 256).astype(np.int64)
+    filtered = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int64)
+    for row in range(h):
+        line = px[row].reshape(-1)
+        ft = row % 5
+        filtered.append(ft)
+        if ft == 0:
+            enc = line
+        elif ft == 2:
+            enc = (line - prev) % 256
+        else:
+            enc = np.zeros_like(line)
+            for i in range(len(line)):
+                a = int(line[i - 3]) if i >= 3 else 0
+                b = int(prev[i])
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(
+                        a, b, int(prev[i - 3]) if i >= 3 else 0
+                    )
+                enc[i] = (int(line[i]) - pred) % 256
+        filtered.extend(bytes(enc.astype(np.uint8)))
+        prev = line
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # 8-bit, RGB, deflate, adaptive, none
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def with_png_payload(docs: DataFrame) -> DataFrame:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_png_bytes(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(fn, "doc_id long, payload binary")
+
+
+def q_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PPM gate shape over REAL compressed payloads: synthesize a
+    PNG per document, decode through the dispatcher (signature ->
+    chunk walk -> inflate -> unfilter), emit dims + channel sums the
+    DuckDB oracle recomputes from the closed form."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return decode_real_stage(with_png_payload(docs))
+
+
+SQL_MM_DECODE_PNG = f"""
+WITH dims AS (
+  SELECT doc_id, (doc_id % 9) + 2 AS w, ((doc_id // 9) % 7) + 2 AS h
+  FROM documents)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST({_sql_channel_sum(0)} AS BIGINT) AS sum_r,
+       CAST({_sql_channel_sum(1)} AS BIGINT) AS sum_g,
+       CAST({_sql_channel_sum(2)} AS BIGINT) AS sum_b
+FROM dims"""
+
+
 QUERIES = {
     "mm_decode_stub": q_mm_decode_stub,
     "mm_decode_real": q_mm_decode_real,
+    "mm_decode_png": q_mm_decode_png,
     "mm_decode_wav": q_mm_decode_wav,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_resize": q_mm_resize,
@@ -607,6 +821,7 @@ QUERIES = {
 ORACLES = {
     "mm_decode_stub": SQL_MM_DECODE,
     "mm_decode_real": SQL_MM_DECODE_REAL,
+    "mm_decode_png": SQL_MM_DECODE_PNG,
     "mm_decode_wav": SQL_MM_DECODE_WAV,
     "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
     "mm_resize": SQL_MM_RESIZE,
