@@ -234,10 +234,26 @@ def _minhash_over_base(base_col):
     ]
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", _shingles_expr(F.col("text")).alias("sh")
-    )
+def minhash_pairs(
+    docs: DataFrame, bucket_cap: int | None = None
+) -> DataFrame:
+    """MinHash-LSH candidate pairs over ``docs(doc_id, sh)`` (sh = the
+    shingle array). The gate entry q_dedup_minhash runs this with no
+    cap; ``bucket_cap`` is the 100 TB hot-bucket guard:
+
+    A band bucket of size K emits K(K-1)/2 candidate pairs, so ONE
+    boilerplate text shared by a large slice of a crawl makes ONE
+    bucket quadratic in output. AQE's skew-join splitting cannot
+    defuse this — it rebalances join INPUT partitions by size, and a
+    hot bucket's input rows are few; the explosion happens in the join
+    OUTPUT (measured in tools/run_skew.py: the skewed wall tracks the
+    emitted-pair count, AQE on). The standard mitigation (used by the
+    public crawl-dedup pipelines) is a bucket-size cap: buckets larger
+    than ``bucket_cap`` are STAR-LINKED — every member pairs with the
+    bucket's min doc_id — O(K) pairs whose transitive closure (the
+    connected-components step every dedup consumer runs next) yields
+    the same duplicate clusters for true boilerplate blobs, while
+    buckets at or under the cap keep exact all-pairs semantics."""
     base = docs.select(
         "doc_id",
         F.transform(
@@ -276,19 +292,50 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
-    return (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+
+    def all_pairs(side: DataFrame) -> DataFrame:
+        return (
+            side.alias("a")
+            .join(
+                side.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+        )
+
+    if bucket_cap is None:
+        return all_pairs(bands).dropDuplicates()
+    # bucket sizes + hub (min doc_id) in one agg over the same
+    # persisted band table; small buckets keep exact all-pairs, large
+    # ones collapse to the O(K) star
+    sizes = bands.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_hub")
+    )
+    tagged = bands.join(sizes, ["band_idx", "band_key"])
+    small = tagged.filter(F.col("_n") <= bucket_cap).select(
+        "doc_id", "band_idx", "band_key"
+    )
+    star = (
+        tagged.filter(
+            (F.col("_n") > bucket_cap) & (F.col("doc_id") != F.col("_hub"))
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("_hub").alias("doc_a"), F.col("doc_id").alias("doc_b")
         )
-        .dropDuplicates()
     )
+    return all_pairs(small).unionByName(star).dropDuplicates()
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", _shingles_expr(F.col("text")).alias("sh")
+    )
+    return minhash_pairs(docs)
 
 
 def sql_dedup_minhash() -> str:

@@ -81,3 +81,49 @@ def test_span_coverage_bounds_and_known_dups(spark):
     assert out.loc[1, "total_kgrams"] == 0  # 3 words < K=8
     assert out.loc[2, "total_kgrams"] == 9 - SPAN_K + 1
     assert (out["dup_kgrams"] == 0).all()
+
+
+def test_minhash_bucket_cap_star_links_hot_bucket(spark):
+    """bucket_cap (the 100 TB hot-bucket guard): a boilerplate cluster
+    collapses from all-pairs to an O(K) star reaching every member
+    (same connected component downstream); buckets at or under the cap
+    keep exact all-pairs candidates."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from remediner_spark.operators.dedup import (
+        _shingles_expr,
+        minhash_pairs,
+    )
+
+    boiler = (
+        "subscribe to our newsletter for updates terms of service "
+        "privacy policy all rights reserved"
+    )
+    n_hot = 12
+    rows = [(i, boiler) for i in range(n_hot)] + [
+        (100 + i,
+         f"unique document number {i} about topic {i * 7} with "
+         f"distinct content tail {i * 13}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).select("doc_id", _shingles_expr(F.col("text")).alias("sh"))
+
+    uncapped = minhash_pairs(docs).toPandas()
+    capped = minhash_pairs(docs, bucket_cap=4).toPandas()
+
+    hot_unc = uncapped[(uncapped.doc_a < n_hot) & (uncapped.doc_b < n_hot)]
+    hot_cap = capped[(capped.doc_a < n_hot) & (capped.doc_b < n_hot)]
+    assert len(hot_unc) == n_hot * (n_hot - 1) // 2
+    # star: every non-hub hot doc linked to the hub (min doc_id = 0)
+    assert sorted(map(tuple, hot_cap.values.tolist())) == [
+        (0, b) for b in range(1, n_hot)
+    ]
+    # cold pairs identical under the cap
+    cold_unc = uncapped[(uncapped.doc_a >= n_hot) | (uncapped.doc_b >= n_hot)]
+    cold_cap = capped[(capped.doc_a >= n_hot) | (capped.doc_b >= n_hot)]
+    assert sorted(map(tuple, cold_unc.values.tolist())) == sorted(
+        map(tuple, cold_cap.values.tolist())
+    )
