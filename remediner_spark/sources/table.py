@@ -1934,6 +1934,39 @@ def table_files(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def table_manifests(spark: SparkSession, path: str) -> DataFrame:
+    """Iceberg ``.manifests`` metadata table: one row per manifest of
+    the CURRENT snapshot (ref, file/row counts, partition-value
+    summary) — shows how commits clustered the table and which
+    manifests a subtractive commit would have to rewrite."""
+    snapshots = _load_snapshots(path)
+    if not snapshots:
+        raise FileNotFoundError(f"no table at {path}")
+    snap = snapshots[-1]
+    rows = []
+    for ref in _snap_refs(path, snap):
+        entries = _load_manifest(path, ref)
+        parts = sorted(
+            {
+                json.dumps(e.get("partition") or {}, sort_keys=True)
+                for e in entries
+            }
+        )
+        rows.append(
+            (
+                ref,
+                len(entries),
+                sum(e["rows"] for e in entries),
+                parts,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "manifest string, file_count long, row_count long, "
+        "partitions array<string>",
+    )
+
+
 def table_history(spark: SparkSession, path: str) -> DataFrame:
     """Iceberg ``.history``/``.snapshots`` metadata table: one row per
     snapshot (id, timestamp, operation, file/row counts, delete-entry

@@ -1700,3 +1700,100 @@ def test_legacy_inline_manifest_migrates(spark, tmp_path):
     got = read_table(spark, path).toPandas()
     assert len(got) == 101
     assert got.set_index("doc_id").loc[10, "val"] == -1
+
+
+def test_concurrent_appends_converge_with_retry(spark, tmp_path):
+    """Four writer threads race one-row appends, retrying on
+    CommitConflictError (the Iceberg client loop). Every committed row
+    survives, snapshot ids stay strictly increasing and unique, and
+    the tip's manifest list resolves to exactly the union of files —
+    the optimistic-CAS + manifest-list machinery under real
+    contention."""
+    import threading
+
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        CommitConflictError,
+        _load_snapshots,
+        live_files,
+        read_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_table(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(50), "val": range(50)})
+        ),
+        path,
+    )
+
+    errors: list[Exception] = []
+
+    def writer(tid: int) -> None:
+        try:
+            for k in range(5):
+                doc = 1000 + tid * 10 + k
+                df = spark.createDataFrame(
+                    pd.DataFrame({"doc_id": [doc], "val": [tid]})
+                )
+                for _attempt in range(40):
+                    try:
+                        write_table(df, path, mode="append")
+                        break
+                    except CommitConflictError:
+                        continue
+                else:
+                    raise RuntimeError(f"writer {tid} starved on {doc}")
+        except Exception as exc:  # surface thread failures to pytest
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(t,)) for t in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    got = read_table(spark, path).toPandas()
+    assert len(got) == 70
+    want = set(range(50)) | {
+        1000 + t * 10 + k for t in range(4) for k in range(5)
+    }
+    assert set(got["doc_id"]) == want  # nothing lost, nothing doubled
+    snaps = _load_snapshots(path)
+    ids = [s["snapshot_id"] for s in snaps]
+    assert ids == list(range(1, 22))  # 1 initial + 20 appends, no gaps
+    assert snaps[-1]["total_rows"] == 70
+    assert sum(f["rows"] for f in live_files(path)) == 70
+
+
+def test_table_manifests_metadata(spark, tmp_path):
+    """.manifests metadata table: one row per manifest of the current
+    snapshot, counts consistent with live_files."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import live_files, table_manifests
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame(
+        {"doc_id": range(60),
+         "lang": ["en" if i % 2 else "de" for i in range(60)]}
+    )
+    write_table(
+        spark.createDataFrame(pdf.iloc[:30]), path, partition_by=["lang"]
+    )
+    write_table(
+        spark.createDataFrame(pdf.iloc[30:]), path, mode="append",
+        partition_by=["lang"],
+    )
+    m = table_manifests(spark, path).toPandas()
+    assert len(m) == 2  # one manifest per commit, carried by ref
+    assert m["row_count"].sum() == 60
+    assert m["file_count"].sum() == len(live_files(path))
+    assert all(
+        '"lang": "de"' in p or '"lang": "en"' in p
+        for parts in m["partitions"] for p in parts
+    )
