@@ -609,7 +609,8 @@ FROM dims"""
 # raise loudly (same contract as the other parsers: never guess).
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, RGB, RGBA
+# channels IN THE SCANLINE: palette (3) carries 1 index byte/pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}  # gray, RGB, palette, RGBA
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -655,7 +656,9 @@ def _parse_png(payload: bytes) -> np.ndarray:
     """PNG -> uint8 pixels [h, w, channels]. Chunk CRCs verified, IDAT
     concatenated + inflated, scanlines unfiltered row-by-row (None/Up
     vectorized; Sub/Average/Paeth carry an intra-row byte dependency,
-    walked sequentially per the spec)."""
+    walked sequentially per the spec). Palette images (color type 3)
+    resolve through PLTE — plus tRNS to RGBA when present, so
+    transparency is never silently dropped."""
     if bytes(payload[:8]) != _PNG_SIG:
         raise ValueError("png: bad signature")
     chunks = _png_chunks(payload)
@@ -670,15 +673,29 @@ def _parse_png(payload: bytes) -> np.ndarray:
     if color_type not in _PNG_CHANNELS:
         raise ValueError(
             f"png: color type {color_type} unsupported "
-            "(8-bit gray/RGB/RGBA only; palette needs PLTE handling)"
+            "(8-bit gray/RGB/palette/RGBA only)"
         )
     if comp != 0 or filt != 0:
         raise ValueError("png: unknown compression/filter method")
     if interlace != 0:
         raise ValueError("png: Adam7 interlace not supported")
-    idat = b"".join(d for t, d in chunks if t == b"IDAT")
+    idat_parts: list[bytes] = []
+    plte = trns = None
+    for t, d in chunks:
+        if t == b"IDAT":
+            idat_parts.append(d)
+        elif t == b"PLTE":
+            if len(d) % 3 or not d:
+                raise ValueError("png: PLTE length not a multiple of 3")
+            plte = np.frombuffer(d, np.uint8).reshape(-1, 3)
+        elif t == b"tRNS":
+            trns = np.frombuffer(d, np.uint8)
+        # other ancillary chunks (tEXt, pHYs, gAMA, ...) are skipped
+    idat = b"".join(idat_parts)
     if not idat:
         raise ValueError("png: no IDAT data")
+    if color_type == 3 and plte is None:
+        raise ValueError("png: palette image without a PLTE chunk")
     raw = zlib.decompress(idat)
     nch = _PNG_CHANNELS[color_type]
     stride = w * nch
@@ -717,7 +734,22 @@ def _parse_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"png: unknown filter type {ft}")
         out[r] = cur.astype(np.uint8)
         prev = cur
-    return out.reshape(h, w, nch)
+    px = out.reshape(h, w, nch)
+    if color_type != 3:
+        return px
+    idx = px[:, :, 0]
+    if int(idx.max(initial=0)) >= len(plte):
+        raise ValueError(
+            f"png: palette index {int(idx.max())} out of range "
+            f"(PLTE has {len(plte)} entries)"
+        )
+    rgb = plte[idx]  # [h, w, 3]
+    if trns is None:
+        return rgb
+    # tRNS alpha per palette entry; entries beyond its length are 255
+    alpha_lut = np.full(len(plte), 255, dtype=np.uint8)
+    alpha_lut[: len(trns)] = trns[: len(plte)]
+    return np.dstack([rgb, alpha_lut[idx]])
 
 
 def _png_dims(doc_id: int) -> tuple[int, int]:

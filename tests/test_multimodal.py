@@ -329,9 +329,9 @@ def test_png_rejections_are_loud():
     # 16-bit depth
     with pytest.raises(ValueError, match="8-bit"):
         _parse_png(_build_png(2, 1, 0, bytes([0, 1, 2]), bit_depth=16))
-    # palette color type
+    # gray+alpha color type (valid PNG, outside the supported set)
     with pytest.raises(ValueError, match="color type"):
-        _parse_png(_build_png(2, 1, 3, bytes([0, 1, 2])))
+        _parse_png(_build_png(2, 1, 4, bytes([0, 1, 2, 3, 4])))
     # corrupt a CRC-covered byte inside the IDAT chunk
     bad = bytearray(good)
     idat_at = bytes(bad).index(b"IDAT")
@@ -353,3 +353,68 @@ def test_png_wrong_inflated_size_is_loud():
     # header says 3x2 gray but rows carry only one scanline
     with pytest.raises(ValueError, match="inflated size"):
         _parse_png(_build_png(3, 2, 0, bytes([0, 1, 2, 3])))
+
+
+def test_png_palette_and_trns():
+    """Color type 3: indices resolve through PLTE (RGB), and a tRNS
+    chunk upgrades the output to RGBA — transparency never silently
+    dropped; short tRNS pads opaque."""
+    import zlib
+
+    import numpy as np
+
+    from remediner_spark.operators.multimodal import (
+        _PNG_SIG,
+        _parse_png,
+        _png_chunk,
+    )
+
+    def build(plte, rows, trns=None, w=3, h=2):
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 3, 0, 0, 0])
+        )
+        out = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", plte)
+        if trns is not None:
+            out += _png_chunk(b"tRNS", trns)
+        return out + _png_chunk(
+            b"IDAT", zlib.compress(rows)
+        ) + _png_chunk(b"IEND", b"")
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red, green, blue
+    rows = bytes([0, 0, 1, 2]) + bytes([0, 1, 2, 0])  # filter None rows
+    px = _parse_png(build(plte, rows))
+    assert px.shape == (2, 3, 3)
+    assert px[0, 0].tolist() == [255, 0, 0]
+    assert px[0, 2].tolist() == [0, 0, 255]
+    assert px[1, 1].tolist() == [0, 0, 255]
+    assert px[1, 2].tolist() == [255, 0, 0]
+
+    # tRNS: entry 0 transparent, entries beyond its length opaque
+    pxa = _parse_png(build(plte, rows, trns=bytes([0])))
+    assert pxa.shape == (2, 3, 4)
+    assert pxa[0, 0].tolist() == [255, 0, 0, 0]  # index 0 -> alpha 0
+    assert pxa[0, 1].tolist() == [0, 255, 0, 255]  # padded opaque
+
+    # Sub filter applies to INDEX bytes (bpp=1)
+    rows_sub = bytes([1, 0, 1, 1]) + bytes([0, 2, 0, 0])
+    pxs = _parse_png(build(plte, rows_sub))
+    assert pxs[0].reshape(-1).tolist() == [255, 0, 0, 0, 255, 0, 0, 0, 255]
+
+    # out-of-range index is loud
+    import pytest
+
+    bad = bytes([0, 0, 1, 7]) + bytes([0, 0, 0, 0])
+    with pytest.raises(ValueError, match="palette index"):
+        _parse_png(build(plte, bad))
+    # palette image without PLTE is loud
+    ihdr = (3).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes(
+        [8, 3, 0, 0, 0]
+    )
+    no_plte = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(rows))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        _parse_png(no_plte)
