@@ -360,6 +360,152 @@ SELECT doc_id, rank, term, tf, df, score FROM ranked
 WHERE rank <= {KEYWORDS_K}"""
 
 
+# --------------------------------------------------- URL canonicalization
+# The crawl-dedup step BEFORE any content dedup: the same page is
+# reachable under scheme/host case variants, explicit default ports,
+# tracking query params, param order, fragments, and trailing slashes.
+# Canonicalizing folds those into one key so exact URL dedup (a
+# hash-groupBy, dedup_exact's shape) collapses re-fetch duplicates at
+# the cost of string expressions — pure JVM built-ins, whole-stage
+# codegen, no UDF. The driver tables carry no URL column, so the gate
+# synthesizes a deterministic messy URL per doc_id (the multimodal
+# payload pattern) and DuckDB mirrors both the synthesis and the
+# canonicalization.
+
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "gclid", "fbclid"
+)
+
+
+def _synth_url_expr():
+    """Deterministic messy URL per doc_id: case variants, explicit
+    default port, tracking params, unsorted params, fragment,
+    trailing slash — each keyed off a different doc_id residue."""
+    d = F.col("doc_id")
+    scheme = (
+        F.when(d % 3 == 0, F.lit("https"))
+        .when(d % 3 == 1, F.lit("HTTPS"))
+        .otherwise(F.lit("http"))
+    )
+    host = F.concat(
+        F.lit("WWW.Example"),
+        (d % 5).cast("string"),
+        F.when(d % 2 == 0, F.lit(".COM")).otherwise(F.lit(".com")),
+    )
+    port = F.when(
+        d % 5 == 0,
+        F.when(d % 3 == 2, F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/articles/"),
+        (d % 29).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = (
+        F.when(d % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(d % 3 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 6 == 0, F.lit("#section-2")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+
+def canonical_url_expr(url):
+    """Canonical form of ``url``: lowercase scheme+host, default port
+    stripped, fragment dropped, tracking params removed, remaining
+    params sorted, trailing slash trimmed (except the bare root).
+    Split/sort built-ins only — identical semantics in DuckDB."""
+    scheme = F.lower(F.regexp_extract(url, "^([^:/]+)://", 1))
+    hostport = F.lower(F.regexp_extract(url, "^[^:/]+://([^/]+)", 1))
+    host = F.when(
+        scheme == "https", F.regexp_replace(hostport, ":443$", "")
+    ).otherwise(F.regexp_replace(hostport, ":80$", ""))
+    pathqf = F.regexp_extract(url, "^[^:/]+://[^/]+(/.*)$", 1)
+    defrag = F.substring_index(pathqf, "#", 1)
+    path0 = F.substring_index(defrag, "?", 1)
+    qraw = F.when(
+        defrag.contains("?"), F.substring_index(defrag, "?", -1)
+    ).otherwise(F.lit(""))
+    path = F.when(path0 == "/", path0).otherwise(
+        F.regexp_replace(path0, "/$", "")
+    )
+    kept = F.filter(
+        F.split(qraw, "&"),
+        lambda p: (p != "")
+        & ~F.substring_index(p, "=", 1).isin(*TRACKING_PARAMS),
+    )
+    canon_q = F.array_join(F.array_sort(kept), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_q == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), canon_q)
+        ),
+    )
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.select(
+        "doc_id",
+        _synth_url_expr().alias("url_raw"),
+    ).withColumn("url_canon", canonical_url_expr(F.col("url_raw")))
+
+
+_SQL_SYNTH_URL = """
+    CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS'
+         ELSE 'http' END
+    || '://WWW.Example' || CAST(doc_id % 5 AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.com' END
+    || CASE WHEN doc_id % 5 = 0 THEN
+         (CASE WHEN doc_id % 3 = 2 THEN ':80' ELSE ':443' END)
+       ELSE '' END
+    || '/articles/' || CAST(doc_id % 29 AS VARCHAR)
+    || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+    || CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+            WHEN 1 THEN '?a=1&b=2' ELSE '' END
+    || CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END
+"""
+
+
+def sql_url_canonicalize() -> str:
+    tracking = ", ".join(f"'{t}'" for t in TRACKING_PARAMS)
+    return f"""
+WITH u AS (SELECT doc_id, {_SQL_SYNTH_URL} AS url_raw FROM documents),
+p AS (SELECT doc_id, url_raw,
+        lower(regexp_extract(url_raw, '^([^:/]+)://', 1)) AS scheme,
+        lower(regexp_extract(url_raw, '^[^:/]+://([^/]+)', 1)) AS hostport,
+        regexp_extract(url_raw, '^[^:/]+://[^/]+(/.*)$', 1) AS pathqf
+      FROM u),
+q AS (SELECT *,
+        CASE WHEN scheme = 'https'
+             THEN regexp_replace(hostport, ':443$', '')
+             ELSE regexp_replace(hostport, ':80$', '') END AS host,
+        split_part(pathqf, '#', 1) AS defrag
+      FROM p),
+r AS (SELECT *,
+        split_part(defrag, '?', 1) AS path0,
+        CASE WHEN contains(defrag, '?') THEN split_part(defrag, '?', 2)
+             ELSE '' END AS qraw
+      FROM q),
+s AS (SELECT *,
+        CASE WHEN path0 = '/' THEN path0
+             ELSE regexp_replace(path0, '/$', '') END AS path,
+        coalesce(array_to_string(list_sort(list_filter(
+            string_split(qraw, '&'),
+            x -> x <> '' AND NOT list_contains(
+                [{tracking}], split_part(x, '=', 1)))), '&'), '')
+          AS canon_q
+      FROM r)
+SELECT doc_id, url_raw,
+       scheme || '://' || host || path
+       || CASE WHEN canon_q = '' THEN '' ELSE '?' || canon_q END
+       AS url_canon
+FROM s"""
+
+
 QUERIES = {
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
@@ -368,6 +514,7 @@ QUERIES = {
     "text_keywords": q_text_keywords,
     "quality_filter": q_quality_filter,
     "text_repetition": q_text_repetition,
+    "url_canonicalize": q_url_canonicalize,
 }
 
 ORACLES = {
@@ -378,4 +525,5 @@ ORACLES = {
     "text_keywords": sql_text_keywords(),
     "quality_filter": sql_quality_filter(),
     "text_repetition": sql_text_repetition(),
+    "url_canonicalize": sql_url_canonicalize(),
 }

@@ -127,3 +127,38 @@ def test_minhash_bucket_cap_star_links_hot_bucket(spark):
     assert sorted(map(tuple, cold_unc.values.tolist())) == sorted(
         map(tuple, cold_cap.values.tolist())
     )
+
+
+def test_url_canonicalization_semantics(spark):
+    """Canonical-URL dedup key: case folds, default port strips,
+    fragment drops, tracking params go, surviving params sort,
+    trailing slash trims (root '/' preserved) — and distinct canonical
+    forms collapse the synthetic variant space."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from remediner_spark.operators.textstats import canonical_url_expr
+
+    cases = {
+        "HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&b=2&a=1#f":
+            "https://www.ex.com/a/b?a=1&b=2",
+        "https://www.ex.com/a/b?a=1&b=2": "https://www.ex.com/a/b?a=1&b=2",
+        "http://EX.com:80/": "http://ex.com/",
+        "http://ex.com:8080/x": "http://ex.com:8080/x",  # non-default kept
+        "https://ex.com:80/x": "https://ex.com:80/x",  # 80 not https default
+        "http://ex.com/x?gclid=1&fbclid=2": "http://ex.com/x",
+        "https://ex.com/x/": "https://ex.com/x",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": list(cases)})
+    ).select("url", canonical_url_expr(F.col("url")).alias("canon"))
+    got = {r["url"]: r["canon"] for r in df.collect()}
+    assert got == cases
+
+    # the gate query's synthetic variants actually collapse
+    from remediner_spark.operators.textstats import q_url_canonicalize
+
+    out = q_url_canonicalize(spark, "/root/testdata/sf0.001")
+    n_raw = out.select("url_raw").distinct().count()
+    n_canon = out.select("url_canon").distinct().count()
+    assert n_canon < n_raw
