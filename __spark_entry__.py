@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         traindata,
     )
     from remediner_spark.plans import kg_gate
+    from remediner_spark.sources import warc
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
@@ -106,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(traindata.QUERIES)
     out.update(olap.QUERIES)
     out.update(tableops.QUERIES)
+    out.update(warc.QUERIES)
     out.update(kg_gate.QUERIES)
     # every callable ships the package to executors first (cwd-proof)
     return {name: _wrap(fn) for name, fn in out.items()}
@@ -127,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         traindata,
     )
     from remediner_spark.plans import kg_gate
+    from remediner_spark.sources import warc
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
@@ -143,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(traindata.ORACLES)
     out.update(olap.ORACLES)
     out.update(tableops.ORACLES)
+    out.update(warc.ORACLES)
     # end-to-end KG pipeline over the materialized corpus fixture: the
     # oracle reads the pandas-gold triples parquet and re-derives
     # linking/nodes/edges relationally in DuckDB (plans/kg_gate.py)
