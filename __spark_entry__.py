@@ -92,7 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         traindata,
     )
     from remediner_spark.plans import kg_gate
-    from remediner_spark.sources import warc
+    from remediner_spark.sources import robots, warc
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(olap.QUERIES)
     out.update(tableops.QUERIES)
     out.update(warc.QUERIES)
+    out.update(robots.QUERIES)
     out.update(kg_gate.QUERIES)
     # every callable ships the package to executors first (cwd-proof)
     return {name: _wrap(fn) for name, fn in out.items()}
@@ -129,7 +130,7 @@ def oracle_sql() -> dict[str, str]:
         traindata,
     )
     from remediner_spark.plans import kg_gate
-    from remediner_spark.sources import warc
+    from remediner_spark.sources import robots, warc
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
@@ -147,6 +148,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(olap.ORACLES)
     out.update(tableops.ORACLES)
     out.update(warc.ORACLES)
+    out.update(robots.ORACLES)
     # end-to-end KG pipeline over the materialized corpus fixture: the
     # oracle reads the pandas-gold triples parquet and re-derives
     # linking/nodes/edges relationally in DuckDB (plans/kg_gate.py)

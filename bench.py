@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     # path a deployment runs per query batch.
     "kg_degree_distribution",
     "sim_topk_pq",
+    # round-6 additions: the crawl ingest edge
+    "warc_ingest",
+    "url_canonicalize",
 ]
 
 # base pages generated pandas-side, then tiled with distinct urls to
