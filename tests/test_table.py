@@ -1797,3 +1797,140 @@ def test_table_manifests_metadata(spark, tmp_path):
         '"lang": "de"' in p or '"lang": "en"' in p
         for parts in m["partitions"] for p in parts
     )
+
+
+def test_table_model_based_random_ops(spark, tmp_path):
+    """Model-based interaction test: a seeded random sequence of
+    append / upsert (cow+mor) / range-delete (cow+mor) / compaction /
+    rename / widen / expiry against a pandas reference model. After
+    every step the live read equals the model, and surviving
+    historical snapshots still time-travel to their recorded state —
+    the pairwise tests above can't see cross-op interactions (e.g. a
+    MoR delete folded by a compaction after a rename)."""
+    import random
+
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        compact_table,
+        delete_range,
+        expire_snapshots,
+        read_table,
+        rename_column,
+        table_snapshots,
+        upsert_rows,
+        widen_column,
+    )
+
+    rng = random.Random(20260817)
+    path = str(tmp_path / "tbl")
+    next_id = 0
+    val_col = "val"
+    val_ts = "int32"
+
+    def make_rows(n):
+        nonlocal next_id
+        rows = pd.DataFrame(
+            {
+                "doc_id": pd.array(
+                    range(next_id, next_id + n), dtype="int64"
+                ),
+                val_col: pd.array(
+                    [rng.randrange(1000) for _ in range(n)], dtype=val_ts
+                ),
+                "lang": [rng.choice(["en", "de"]) for _ in range(n)],
+            }
+        )
+        next_id += n
+        return rows
+
+    def norm(df):
+        out = df.sort_values("doc_id").reset_index(drop=True)
+        out = out[sorted(out.columns)]
+        for c in out.columns:
+            if c != "lang":
+                out[c] = out[c].astype("int64")
+        return out
+
+    model = make_rows(40)
+    write_table(spark.createDataFrame(model), path, partition_by=["lang"])
+    history = {1: model.copy()}
+
+    def check_live():
+        pd.testing.assert_frame_equal(
+            norm(read_table(spark, path).toPandas()), norm(model)
+        )
+
+    for _step in range(14):
+        op = rng.choice(
+            ["append", "upsert", "delete", "compact", "rename",
+             "widen", "expire"]
+        )
+        if op == "append":
+            batch = make_rows(rng.randrange(1, 8))
+            write_table(
+                spark.createDataFrame(batch), path, mode="append",
+                partition_by=["lang"],
+            )
+            model = pd.concat([model, batch], ignore_index=True)
+        elif op == "upsert" and len(model):
+            keys = rng.sample(
+                sorted(model["doc_id"]), k=min(4, len(model))
+            )
+            ups = model[model["doc_id"].isin(keys)].copy()
+            ups[val_col] = pd.array(
+                [rng.randrange(1000) for _ in range(len(ups))],
+                dtype=val_ts,
+            )
+            new = make_rows(rng.randrange(0, 3))
+            ups = pd.concat([ups, new], ignore_index=True)
+            upsert_rows(
+                spark, path, spark.createDataFrame(ups), ["doc_id"],
+                strategy=rng.choice(["cow", "mor", "auto"]),
+            )
+            model = pd.concat(
+                [model[~model["doc_id"].isin(ups["doc_id"])], ups],
+                ignore_index=True,
+            )
+        elif op == "delete" and len(model):
+            lo = rng.randrange(900)
+            hi = lo + rng.randrange(150)
+            delete_range(
+                spark, path, val_col, lo, hi,
+                strategy=rng.choice(["cow", "mor"]),
+            )
+            model = model[
+                ~model[val_col].astype("int64").between(lo, hi)
+            ].reset_index(drop=True)
+        elif op == "compact":
+            compact_table(spark, path, min_files_per_partition=1)
+        elif op == "rename":
+            new_name = "score" if val_col == "val" else "val"
+            rename_column(path, val_col, new_name)
+            model = model.rename(columns={val_col: new_name})
+            val_col = new_name
+        elif op == "widen":
+            widen_column(path, val_col, "long")
+            val_ts = "int64"
+            model[val_col] = model[val_col].astype("int64")
+        elif op == "expire":
+            expire_snapshots(path, keep_last=3)
+            alive = {s["snapshot_id"] for s in table_snapshots(path)}
+            for sid in list(history):
+                if sid not in alive:
+                    del history[sid]
+        check_live()
+        tip = table_snapshots(path)[-1]["snapshot_id"]
+        history[tip] = model.copy()
+
+    # surviving snapshots still time-travel to their recorded state
+    alive = [s["snapshot_id"] for s in table_snapshots(path)]
+    checked = 0
+    for sid in alive:
+        if sid in history:
+            pd.testing.assert_frame_equal(
+                norm(read_table(spark, path, snapshot_id=sid).toPandas()),
+                norm(history[sid]),
+            )
+            checked += 1
+    assert checked >= 2
