@@ -506,6 +506,103 @@ SELECT doc_id, url_raw,
 FROM s"""
 
 
+# ------------------------------------------------- bigram LM scoring
+# The CCNet-style quality signal: score each document under a count-
+# based language model trained on the corpus itself (here: add-one-
+# smoothed bigram MLE, P(w|prev) = (c_bi+1)/(c_uni+V)). Low average
+# probability = out-of-distribution text (gibberish, boilerplate,
+# wrong language) — the standard pretraining-corpus filter signal.
+#
+# Scale shape: two count aggregations (shuffles on word / word-pair
+# keys, map-side partials), then an inner join of the bigram stream
+# against the count tables and one per-doc aggregation. No UDF.
+#
+# Cross-engine exactness discipline: each per-bigram probability is an
+# IEEE double division rounded to 9dp; the per-document sum is a LEFT
+# FOLD over the bigrams in position order (F.aggregate / DuckDB
+# list_reduce over a position-sorted list) — same terms, same order,
+# bit-identical — and the final mean is rounded to 6dp.
+
+
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    n = F.size("ws")
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, n - 1),
+                F.arrays_zip(
+                    F.sequence(F.lit(1), n - 1),
+                    F.slice("ws", 2, n - 1),
+                ),
+                lambda prev, z: F.struct(
+                    z["0"].alias("pos"),
+                    prev.alias("w_prev"),
+                    z["1"].alias("w"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.pos", "b.w_prev", "b.w")
+    words = docs.select(F.explode("ws").alias("w"))
+    c_uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c_uni"))
+    vocab = words.select("w").distinct().count()
+    c_bi = bigrams.groupBy("w_prev", "w").agg(
+        F.count(F.lit(1)).alias("c_bi")
+    )
+    scored = (
+        bigrams.join(c_bi, ["w_prev", "w"])
+        .join(c_uni.withColumnRenamed("w", "w_prev"), "w_prev")
+        .select(
+            "doc_id",
+            "pos",
+            F.round(
+                (F.col("c_bi") + 1)
+                / (F.col("c_uni") + F.lit(vocab)).cast("double"),
+                9,
+            ).alias("p"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.collect_list(F.struct("pos", "p")).alias("ps")
+    )
+    fold = F.aggregate(
+        F.array_sort("ps"), F.lit(0.0), lambda acc, x: acc + x["p"]
+    )
+    return per_doc.select(
+        "doc_id",
+        F.size("ps").cast("long").alias("n_bigrams"),
+        F.round(fold / F.size("ps"), 6).alias("avg_p"),
+    )
+
+
+SQL_TEXT_LM_SCORE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+big AS (
+  SELECT doc_id, i AS pos, ws[i] AS w_prev, ws[i + 1] AS w
+  FROM t, UNNEST(range(1, len(ws))) AS r(i)),
+uni AS (
+  SELECT w, count(*) AS c_uni
+  FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+v AS (SELECT count(*) AS vocab FROM uni),
+bi AS (SELECT w_prev, w, count(*) AS c_bi FROM big GROUP BY 1, 2),
+p AS (
+  SELECT big.doc_id, big.pos,
+         round((bi.c_bi + 1) / CAST(uni.c_uni + v.vocab AS DOUBLE), 9)
+           AS p
+  FROM big
+  JOIN bi ON bi.w_prev = big.w_prev AND bi.w = big.w
+  JOIN uni ON uni.w = big.w_prev
+  CROSS JOIN v),
+agg AS (
+  SELECT doc_id, list(p ORDER BY pos) AS ps FROM p GROUP BY doc_id)
+SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bigrams,
+       round(list_reduce(ps, (a, b) -> a + b) / len(ps), 6) AS avg_p
+FROM agg"""
+
+
 QUERIES = {
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
@@ -515,6 +612,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "text_repetition": q_text_repetition,
     "url_canonicalize": q_url_canonicalize,
+    "text_lm_score": q_text_lm_score,
 }
 
 ORACLES = {
@@ -526,4 +624,5 @@ ORACLES = {
     "quality_filter": sql_quality_filter(),
     "text_repetition": sql_text_repetition(),
     "url_canonicalize": sql_url_canonicalize(),
+    "text_lm_score": SQL_TEXT_LM_SCORE,
 }

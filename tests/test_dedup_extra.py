@@ -162,3 +162,37 @@ def test_url_canonicalization_semantics(spark):
     n_raw = out.select("url_raw").distinct().count()
     n_canon = out.select("url_canon").distinct().count()
     assert n_canon < n_raw
+
+
+def test_lm_score_discriminates_gibberish(spark, tmp_path):
+    """The bigram-LM quality signal actually discriminates: documents
+    with consistent word ORDER outscore shuffles of the very same
+    words (unigram stats identical by construction — only the bigram
+    structure separates them)."""
+    import pandas as pd
+
+    from remediner_spark.operators.textstats import q_text_lm_score
+
+    rng = __import__("random").Random(5)
+    sent = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge").split()
+    rows = []
+    for i in range(80):  # in-distribution: rotations keep bigram order
+        k = i % len(sent)
+        words = (sent[k:] + sent[:k]) * 4
+        rows.append((i, " ".join(words), "en", "real", 0))
+    for i in range(20):  # gibberish: same words, shuffled
+        words = (sent * 4)[:]
+        rng.shuffle(words)
+        rows.append((10_000 + i, " ".join(words), "en", "gib", 0))
+    docs = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = str(tmp_path)
+    docs.to_parquet(f"{d}/documents.parquet", index=False)
+    out = q_text_lm_score(spark, d).toPandas()
+    real = out[out.doc_id < 10_000]["avg_p"]
+    fake = out[out.doc_id >= 10_000]["avg_p"]
+    assert len(real) == 80 and len(fake) == 20
+    assert fake.max() < 0.5 * real.min()
+    assert ((out["avg_p"] > 0) & (out["avg_p"] <= 1)).all()
