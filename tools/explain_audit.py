@@ -47,6 +47,11 @@ def main() -> int:
         "tpch_q3",               # broadcast dim, shuffle fact join
         "sim_topk_pq",           # ADC: no all-pairs, broadcast rerank
         "table_mor_read",        # MoR deletes: broadcast anti-join
+        "url_canonicalize",      # pure codegen projection, no shuffle
+        "warc_ingest",           # map-side ingest explode
+        "robots_filter",         # map-side politeness filter
+        "text_lm_score",         # count aggs + hash joins
+        "sim_topk_ivf",          # plan-side probe selection
     ]
     checks = {
         "r13_word_explode": ["PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"],
@@ -85,6 +90,24 @@ def main() -> int:
         # predicate delete is a plain filter — no shuffle for either
         "table_mor_read": ["LeftAnti", "BroadcastHashJoin",
                            "!CartesianProduct"],
+        # URL canonicalization is a pure projection over the scan, no
+        # Exchange anywhere; the inner projection codegens (the outer
+        # one carries the higher-order param-filter lambda, which
+        # Spark never codegens — still map-side, still one stage)
+        "url_canonicalize": ["codegen id", "!Exchange"],
+        # crawl ingest/politeness: map-side mapInPandas over the scan
+        # — no shuffle before the first content operator
+        "warc_ingest": ["MapInPandas", "!Exchange"],
+        "robots_filter": ["MapInPandas", "!Exchange"],
+        # LM scoring: count aggs get map-side partials; the count
+        # tables join hash-wise, never nested-loop
+        "text_lm_score": ["HashAggregate", "!CartesianProduct",
+                          "!BroadcastNestedLoopJoin"],
+        # IVF probe selection is IN THE PLAN: the probe table builds
+        # from a projection over the scan (no job-side collect sneaks
+        # a LocalTableScan of query vectors in), candidates join the
+        # broadcast probe hash-wise
+        "sim_topk_ivf": ["BroadcastHashJoin", "!CartesianProduct"],
     }
     failures = []
     for name in audit_set:
