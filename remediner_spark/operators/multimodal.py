@@ -696,12 +696,22 @@ def _parse_png(payload: bytes) -> np.ndarray:
         raise ValueError("png: no IDAT data")
     if color_type == 3 and plte is None:
         raise ValueError("png: palette image without a PLTE chunk")
-    raw = zlib.decompress(idat)
     nch = _PNG_CHANNELS[color_type]
     stride = w * nch
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    try:
+        # BOUNDED inflate: cap at expected+1 bytes so a decompression
+        # bomb (tiny IDAT inflating to gigabytes) costs nothing — and
+        # typed failure: callers catch ValueError for ALL corrupt
+        # payloads, a zlib.error escaping would break that contract
+        d = zlib.decompressobj()
+        raw = d.decompress(idat, expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"png: corrupt IDAT stream ({exc})") from exc
+    if len(raw) != expected or not d.eof:
         raise ValueError(
-            f"png: inflated size {len(raw)} != {h * (stride + 1)}"
+            f"png: inflated size {len(raw)}{'+' if not d.eof else ''} "
+            f"!= {expected}"
         )
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)

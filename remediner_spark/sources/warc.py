@@ -31,6 +31,7 @@ pages over Iceberg tables).
 from __future__ import annotations
 
 import gzip
+import zlib
 from datetime import datetime, timedelta
 from typing import Iterator
 
@@ -47,7 +48,10 @@ def parse_warc(payload: bytes) -> list[dict]:
     member-per-record .warc.gz layout — gzip.decompress concatenates
     members) are inflated first. Loud on any framing violation."""
     if payload[:2] == _GZIP_MAGIC:
-        payload = gzip.decompress(payload)
+        try:
+            payload = gzip.decompress(payload)
+        except (gzip.BadGzipFile, EOFError, zlib.error) as exc:
+            raise ValueError(f"warc: corrupt gzip stream ({exc})") from exc
     records: list[dict] = []
     pos, n = 0, len(payload)
     while pos < n:

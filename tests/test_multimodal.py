@@ -418,3 +418,62 @@ def test_png_palette_and_trns():
     )
     with pytest.raises(ValueError, match="PLTE"):
         _parse_png(no_plte)
+
+
+def test_png_corruption_never_escapes():
+    """Any single-bit flip or truncation of a valid PNG raises
+    ValueError — never zlib.error/IndexError/struct garbage, and never
+    a silent wrong decode (CRC32 detects all single-bit errors). Also
+    pins the bounded inflate: a crafted bomb IDAT is rejected without
+    materializing its output."""
+    import zlib as _zlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from remediner_spark.operators.multimodal import (
+        _PNG_SIG,
+        _parse_png,
+        _png_chunk,
+        encode_png_bytes,
+    )
+
+    payload = encode_png_bytes(45)  # h >= 5: all five filters present
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.data())
+    def run(data):
+        mode = data.draw(st.sampled_from(["flip", "cut"]))
+        if mode == "flip":
+            i = data.draw(st.integers(0, len(payload) - 1))
+            bit = data.draw(st.integers(0, 7))
+            bad = bytearray(payload)
+            bad[i] ^= 1 << bit
+            try:
+                _parse_png(bytes(bad))
+                raise AssertionError(f"flip at {i} bit {bit} undetected")
+            except ValueError:
+                pass
+        else:
+            i = data.draw(st.integers(0, len(payload) - 1))
+            try:
+                _parse_png(payload[:i])
+            except ValueError:
+                pass  # the only acceptable failure type
+
+    run()
+
+    # decompression bomb: header says 2x1 gray but IDAT inflates huge
+    ihdr = (2).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes(
+        [8, 0, 0, 0, 0]
+    )
+    bomb = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(b"\x00" * 10_000_000))
+        + _png_chunk(b"IEND", b"")
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="inflated size"):
+        _parse_png(bomb)

@@ -118,3 +118,36 @@ def test_warc_ingest_stage_spark(spark):
     assert len(got) == 500
     assert got["eq"].all()
     assert (got["http_status"] == 200).all()
+
+
+def test_warc_corruption_never_escapes():
+    """Truncations and random byte corruption of a WARC stream either
+    parse (WARC has no checksums, so content flips can be silently
+    valid) or raise ValueError — never an untyped exception or hang."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from remediner_spark.sources.warc import parse_warc, response_rows
+
+    plain = encode_warc_bytes(3, "some page body text")  # uncompressed
+    gz = encode_warc_bytes(4, "another page")  # gzip'd
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.data())
+    def run(data):
+        payload = data.draw(st.sampled_from([plain, gz]))
+        mode = data.draw(st.sampled_from(["cut", "flip"]))
+        bad = bytearray(payload)
+        if mode == "cut":
+            bad = bad[: data.draw(st.integers(0, len(bad) - 1))]
+        else:
+            i = data.draw(st.integers(0, len(bad) - 1))
+            bad[i] ^= 1 << data.draw(st.integers(0, 7))
+        try:
+            recs = parse_warc(bytes(bad))
+            assert len(recs) <= 3
+            response_rows(bytes(bad))
+        except ValueError:
+            pass  # the only acceptable failure type
+
+    run()
