@@ -351,13 +351,87 @@ r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
 SELECT node AS doc_id, r AS rank_fp FROM r{PR_ITERS}"""
 
 
+# k-hop BFS bounds: 3 hops from the 8 lowest-id participating docs
+KHOP_K = 3
+KHOP_SOURCES = 8
+
+
+def q_graph_khop(spark, sf_dir: str) -> DataFrame:
+    """Minimum hop distance (<= KHOP_K) from a source set over the
+    undirected near-dup graph — the neighborhood-expansion query a
+    graph consumer runs around entities of interest. K FIXED rounds of
+    frontier-join (frontier deduped to node grain each round, so work
+    is nodes-touched, never walk-count); the per-(src,node) minimum
+    falls out of one final aggregation. At 10^12 docs each round is
+    one shuffle on the frontier key and the frontier is bounded by the
+    k-hop neighborhood, not the graph."""
+    from .dedup import q_dedup_ngram_jaccard
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).dropDuplicates()
+    # deterministic non-empty source set: the lowest participating ids
+    srcs = (
+        edges.select(F.col("doc_a").alias("src"))
+        .distinct()
+        .orderBy("src")
+        .limit(KHOP_SOURCES)
+    )
+    reach = srcs.select(
+        "src", F.col("src").alias("node"), F.lit(0).alias("dist")
+    )
+    frontier = reach
+    for d in range(1, KHOP_K + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["doc_a"])
+            .select(
+                "src",
+                F.col("doc_b").alias("node"),
+                F.lit(d).alias("dist"),
+            )
+            .dropDuplicates(["src", "node"])
+        )
+        reach = reach.unionByName(nxt)
+        frontier = nxt
+    return reach.groupBy("src", "node").agg(
+        F.min("dist").cast("long").alias("dist")
+    )
+
+
+def sql_graph_khop() -> str:
+    from .dedup import sql_jaccard_ctes
+
+    return f"""
+WITH RECURSIVE {sql_jaccard_ctes()},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jpairs
+  UNION
+  SELECT doc_b, doc_a FROM jpairs),
+srcs AS (
+  SELECT DISTINCT a AS src FROM edges ORDER BY src
+  LIMIT {KHOP_SOURCES}),
+walk(src, node, dist) AS (
+  SELECT src, src, 0 FROM srcs
+  UNION
+  SELECT w.src, e.b, w.dist + 1
+  FROM walk w JOIN edges e ON e.a = w.node
+  WHERE w.dist < {KHOP_K})
+SELECT src, node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY src, node"""
+
+
 QUERIES = {
     "dedup_components": q_dedup_components,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "graph_pagerank_neardup": q_graph_pagerank,
+    "graph_khop_neardup": q_graph_khop,
 }
 ORACLES = {
     "dedup_components": sql_dedup_components(),
     "dedup_keep_canonical": sql_dedup_keep_canonical(),
     "graph_pagerank_neardup": sql_graph_pagerank(),
+    "graph_khop_neardup": sql_graph_khop(),
 }

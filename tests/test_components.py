@@ -139,3 +139,37 @@ def test_star_vs_unionfind_randomized(spark):
 
     got = _components(spark, cases, connected_components_star, max_iter=60)
     assert got == want
+
+
+def test_khop_min_distance_hand_graph(spark, monkeypatch):
+    """BFS min-dist on a hand-built graph: chain 0-1-2-3-4 plus a
+    shortcut 0-3; distances must take the shortcut and cap at K."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    import remediner_spark.operators.components as C
+
+    pairs = pd.DataFrame(
+        {"doc_a": [0, 1, 2, 3, 0], "doc_b": [1, 2, 3, 4, 3]}
+    )
+
+    def fake_pairs(spark_, sf_dir):
+        return spark.createDataFrame(pairs).select(
+            F.col("doc_a").cast("long"), F.col("doc_b").cast("long")
+        )
+
+    import remediner_spark.operators.dedup as D
+
+    monkeypatch.setattr(D, "q_dedup_ngram_jaccard", fake_pairs)
+    monkeypatch.setattr(C, "KHOP_SOURCES", 1)  # source = node 0 only
+    out = C.q_graph_khop(spark, "").toPandas()
+    got = {
+        (r.src, r.node): r.dist for r in out.itertuples(index=False)
+    }
+    assert got == {
+        (0, 0): 0,
+        (0, 1): 1,
+        (0, 3): 1,  # shortcut beats the 3-hop chain path
+        (0, 2): 2,
+        (0, 4): 2,  # via the shortcut, not 4 hops
+    }
