@@ -58,9 +58,10 @@ BENCH_QUERIES = [
     # path a deployment runs per query batch.
     "kg_degree_distribution",
     "sim_topk_pq",
-    # round-6 additions: the crawl ingest edge
+    # round-6 additions: the crawl ingest edge + the as-of join
     "warc_ingest",
     "url_canonicalize",
+    "join_asof",
 ]
 
 # base pages generated pandas-side, then tiled with distinct urls to

@@ -185,6 +185,85 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name"""
 
 
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join — the canonical operator Spark's built-ins LACK
+    (the brief's example of one), composed from existing DataFrame
+    ops: for every click event, the user's most recent purchase AT OR
+    BEFORE the click (NULL when none). Implementation is the
+    union-sort-carry pattern: tag probe/build rows, sort per user by
+    (ts, side) with build before probe at equal ts (inclusive <=
+    semantics), and carry the last non-null build struct forward with
+    an unbounded-preceding window — ONE shuffle on the user key, no
+    range explosion, no per-row UDF. At 100 TB this beats the
+    inequality-join formulation (which Spark would plan as a broadcast
+    nested loop or a range join) because the sort-carry is linear in
+    events per user.
+
+    Determinism: multiple purchases at one (user, ts) are collapsed to
+    the one with the max event_id BEFORE the carry (max_by), so the
+    as-of winner is unique; DuckDB's native ASOF LEFT JOIN mirrors
+    over the identically-deduped build side."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probe = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    build = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("b_value"))
+        .select("user_id", F.col("ts").alias("b_ts"), "b_value")
+    )
+    tagged = probe.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_probe"),
+        "event_id",
+        "value",
+        F.lit(None).cast("struct<b_ts:timestamp,b_value:double>").alias(
+            "b"
+        ),
+    ).unionByName(
+        build.select(
+            "user_id",
+            F.col("b_ts").alias("ts"),
+            F.lit(0).alias("is_probe"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            F.struct("b_ts", "b_value").alias("b"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn(
+        "asof", F.last("b", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("is_probe") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("value"),
+        F.col("asof.b_ts").alias("asof_ts"),
+        F.round(F.col("asof.b_value"), 6).alias("asof_value"),
+    )
+
+
+SQL_JOIN_ASOF = """
+WITH probe AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'click'),
+build AS (
+  SELECT user_id, ts AS b_ts, arg_max(value, event_id) AS b_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, p.ts, round(p.value, 6) AS value,
+       b.b_ts AS asof_ts, round(b.b_value, 6) AS asof_value
+FROM probe p
+ASOF LEFT JOIN build b
+  ON p.user_id = b.user_id AND p.ts >= b.b_ts"""
+
+
 def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins — the eval P/R machinery (M10,
     ref: src/FINALMODEL/test_final.py:13-32 semantics): orders with
@@ -588,6 +667,7 @@ QUERIES = {
     "a7_class_counts": q_a7_class_counts,
     "join_broadcast_dims": q_join_broadcast_dims,
     "join_semi_anti": q_join_semi_anti,
+    "join_asof": q_join_asof,
     "agg_two_phase": q_agg_two_phase,
     "agg_approx_distinct": q_agg_approx_distinct,
     "window_topk": q_window_topk,
@@ -609,6 +689,7 @@ ORACLES = {
     "a7_class_counts": SQL_A7,
     "join_broadcast_dims": SQL_JOIN_BROADCAST,
     "join_semi_anti": SQL_JOIN_SEMI_ANTI,
+    "join_asof": SQL_JOIN_ASOF,
     "agg_two_phase": SQL_AGG_TWO_PHASE,
     "agg_approx_distinct": SQL_AGG_APPROX_DISTINCT,
     "window_topk": SQL_WINDOW_TOPK,
