@@ -264,6 +264,68 @@ ASOF LEFT JOIN build b
   ON p.user_id = b.user_id AND p.ts >= b.b_ts"""
 
 
+RANGE_WINDOW_S = 1800  # attribution window = bucket width (30 min)
+
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (interval containment) — with as-of, the other
+    classic operator Spark's built-ins lack: attribute every click to
+    the purchase windows [purchase_ts, +30 min) it falls into, per
+    user. The naive formulation (ON user AND ts BETWEEN s AND e) plans
+    as a nested-loop join; the scale shape is BUCKETIZATION: with
+    bucket width == window width every interval covers at most TWO
+    time buckets, so exploding intervals to their buckets turns the
+    range join into an EQUI-join on (user, bucket) + an exact range
+    filter — a hash join whose fan-out is bounded by 2x the interval
+    count, at any scale. The bucket key is internal (the oracle joins
+    on raw containment), so no cross-engine bucket parity is needed.
+    Per-window sums round to 4dp (the agg_two_phase precedent for
+    order-nondeterministic double sums)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    iv = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("iv_id"),
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    bucket = lambda c: F.floor(  # noqa: E731
+        F.unix_timestamp(c) / RANGE_WINDOW_S
+    )
+    iv_b = iv.withColumn(
+        "bucket", F.explode(F.sequence(bucket(F.col("s")), bucket(F.col("e"))))
+    )
+    ck_b = clicks.withColumn("bucket", bucket(F.col("ts")))
+    pairs = ck_b.join(iv_b, ["user_id", "bucket"]).filter(
+        (F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e"))
+    )
+    hits = pairs.groupBy("iv_id").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_sum")
+    )
+    return iv.join(hits, "iv_id", "left").select(
+        "iv_id",
+        F.coalesce("_n", F.lit(0)).cast("long").alias("n_clicks"),
+        F.round(F.coalesce("_sum", F.lit(0.0)), 4).alias("sum_value"),
+    )
+
+
+SQL_JOIN_RANGE = """
+WITH clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+iv AS (
+  SELECT event_id AS iv_id, user_id, ts AS s,
+         ts + INTERVAL 30 MINUTE AS e
+  FROM events WHERE event_type = 'purchase')
+SELECT iv.iv_id,
+       CAST(count(c.ts) AS BIGINT) AS n_clicks,
+       round(coalesce(sum(c.value), 0), 4) AS sum_value
+FROM iv LEFT JOIN clicks c
+  ON c.user_id = iv.user_id AND c.ts >= iv.s AND c.ts < iv.e
+GROUP BY iv.iv_id"""
+
+
 def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins — the eval P/R machinery (M10,
     ref: src/FINALMODEL/test_final.py:13-32 semantics): orders with
@@ -668,6 +730,7 @@ QUERIES = {
     "join_broadcast_dims": q_join_broadcast_dims,
     "join_semi_anti": q_join_semi_anti,
     "join_asof": q_join_asof,
+    "join_range": q_join_range,
     "agg_two_phase": q_agg_two_phase,
     "agg_approx_distinct": q_agg_approx_distinct,
     "window_topk": q_window_topk,
@@ -690,6 +753,7 @@ ORACLES = {
     "join_broadcast_dims": SQL_JOIN_BROADCAST,
     "join_semi_anti": SQL_JOIN_SEMI_ANTI,
     "join_asof": SQL_JOIN_ASOF,
+    "join_range": SQL_JOIN_RANGE,
     "agg_two_phase": SQL_AGG_TWO_PHASE,
     "agg_approx_distinct": SQL_AGG_APPROX_DISTINCT,
     "window_topk": SQL_WINDOW_TOPK,

@@ -52,6 +52,8 @@ def main() -> int:
         "robots_filter",         # map-side politeness filter
         "text_lm_score",         # count aggs + hash joins
         "sim_topk_ivf",          # plan-side probe selection
+        "join_range",            # bucketized range join
+        "join_asof",             # union-sort-carry as-of join
     ]
     checks = {
         "r13_word_explode": ["PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"],
@@ -103,6 +105,11 @@ def main() -> int:
         # tables join hash-wise, never nested-loop
         "text_lm_score": ["HashAggregate", "!CartesianProduct",
                           "!BroadcastNestedLoopJoin"],
+        # range join must bucketize to an equi-join: hash join only
+        "join_range": ["!BroadcastNestedLoopJoin", "!CartesianProduct"],
+        # as-of: one shuffle + window carry, no nested loop
+        "join_asof": ["!BroadcastNestedLoopJoin", "!CartesianProduct",
+                      "Window"],
         # IVF probe selection is IN THE PLAN: the probe table builds
         # from a projection over the scan (no job-side collect sneaks
         # a LocalTableScan of query vectors in), candidates join the
