@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "warc_ingest",
     "url_canonicalize",
     "join_asof",
+    "join_range",
 ]
 
 # base pages generated pandas-side, then tiled with distinct urls to
