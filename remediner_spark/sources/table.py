@@ -741,6 +741,62 @@ def write_table(
     return snapshot
 
 
+def _refs_file(path: str) -> str:
+    return os.path.join(_meta_dir(path), "refs.json")
+
+
+def _load_refs(path: str) -> dict[str, int]:
+    f = _refs_file(path)
+    if not os.path.exists(f):
+        return {}
+    with open(f) as fh:
+        return {k: int(v) for k, v in json.load(fh).items()}
+
+
+def _save_refs(path: str, refs: dict[str, int]) -> None:
+    tmp = _refs_file(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(refs, fh, indent=1)
+    os.replace(tmp, _refs_file(path))
+
+
+def tag_snapshot(path: str, name: str, snapshot_id: int | None = None) -> int:
+    """Iceberg ref/tag: pin a snapshot under a NAME. Tagged snapshots
+    are protected from expire_snapshots (the retention contract:
+    'keep the audited training-corpus state' survives any keep_last),
+    and readable via read_table(tag=...). Re-tagging a name moves it.
+    Returns the tagged snapshot id."""
+    with _commit_lock(path):
+        snapshots = _load_snapshots(path)
+        if not snapshots:
+            raise FileNotFoundError(f"no table at {path}")
+        sid = (
+            snapshots[-1]["snapshot_id"]
+            if snapshot_id is None
+            else snapshot_id
+        )
+        if not any(s["snapshot_id"] == sid for s in snapshots):
+            raise ValueError(f"no snapshot {sid} in {path}")
+        refs = _load_refs(path)
+        refs[name] = sid
+        _save_refs(path, refs)
+        return sid
+
+
+def drop_tag(path: str, name: str) -> None:
+    with _commit_lock(path):
+        refs = _load_refs(path)
+        if name not in refs:
+            raise ValueError(f"no tag {name!r} on {path}")
+        del refs[name]
+        _save_refs(path, refs)
+
+
+def table_tags(path: str) -> dict[str, int]:
+    """{tag name: snapshot id} — the .refs metadata view."""
+    return dict(_load_refs(path))
+
+
 def table_snapshots(path: str) -> list[dict]:
     return [
         {k: s[k] for k in ("snapshot_id", "ts", "mode", "total_rows")}
@@ -935,6 +991,7 @@ def read_table(
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
     stats_filter: dict | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Plan the read from the manifest: pick the snapshot, prune files
     by partition values AND per-file column min/max stats, scan only
@@ -949,6 +1006,13 @@ def read_table(
     snapshots = _load_snapshots(path)
     if not snapshots:
         raise FileNotFoundError(f"no table at {path}")
+    if tag is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR tag, not both")
+        refs = _load_refs(path)
+        if tag not in refs:
+            raise ValueError(f"no tag {tag!r} on {path}")
+        snapshot_id = refs[tag]
     if snapshot_id is None:
         snap = snapshots[-1]
     else:
@@ -1721,7 +1785,16 @@ def _expire_locked(path: str, keep_last: int) -> dict:
     snapshots = _load_snapshots(path)
     if len(snapshots) <= keep_last:
         return {"removed_snapshots": 0, "deleted_files": 0}
-    kept, dropped = snapshots[-keep_last:], snapshots[:-keep_last]
+    # tagged snapshots are retention-pinned: they survive any
+    # keep_last (drop_tag first to release them)
+    tagged = set(_load_refs(path).values())
+    keep_ids = {
+        s["snapshot_id"] for s in snapshots[-keep_last:]
+    } | tagged
+    kept = [s for s in snapshots if s["snapshot_id"] in keep_ids]
+    dropped = [s for s in snapshots if s["snapshot_id"] not in keep_ids]
+    if not dropped:
+        return {"removed_snapshots": 0, "deleted_files": 0}
     # newest marker per scope across the DROPPED snapshots (kept ones
     # still carry their own); merge under the oldest kept snapshot
     carried: dict[str, int] = {}

@@ -1934,3 +1934,58 @@ def test_table_model_based_random_ops(spark, tmp_path):
             )
             checked += 1
     assert checked >= 2
+
+
+def test_snapshot_tags_pin_retention(spark, tmp_path):
+    """Iceberg refs/tags: a tagged snapshot survives expire_snapshots
+    past keep_last and stays readable via read_table(tag=...); dropping
+    the tag releases it to the next expiry; tags resolve and re-point."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        drop_tag,
+        expire_snapshots,
+        read_table,
+        table_snapshots,
+        table_tags,
+        tag_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    for k in range(5):  # snapshots 1..5, 10 rows each
+        write_table(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {"doc_id": range(k * 10, k * 10 + 10), "val": [k] * 10}
+                )
+            ),
+            path, mode="append",
+        )
+    assert tag_snapshot(path, "audited", snapshot_id=2) == 2
+    assert tag_snapshot(path, "latest") == 5  # defaults to tip
+    assert table_tags(path) == {"audited": 2, "latest": 5}
+
+    res = expire_snapshots(path, keep_last=2)
+    alive = [s["snapshot_id"] for s in table_snapshots(path)]
+    assert alive == [2, 4, 5]  # tagged 2 pinned; 1 and 3 expired
+    assert res["removed_snapshots"] == 2
+    assert read_table(spark, path, tag="audited").count() == 20
+    assert read_table(spark, path, tag="latest").count() == 50
+    assert read_table(spark, path).count() == 50
+
+    # re-point a tag, release the old pin, expire again
+    tag_snapshot(path, "audited", snapshot_id=4)
+    drop_tag(path, "latest")
+    expire_snapshots(path, keep_last=1)
+    alive = [s["snapshot_id"] for s in table_snapshots(path)]
+    assert alive == [4, 5]
+    assert read_table(spark, path, tag="audited").count() == 40
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no tag"):
+        read_table(spark, path, tag="gone")
+    with pytest.raises(ValueError, match="no snapshot 99"):
+        tag_snapshot(path, "x", snapshot_id=99)
+    with pytest.raises(ValueError, match="not both"):
+        read_table(spark, path, snapshot_id=4, tag="audited")
