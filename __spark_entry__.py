@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ivf,
         multimodal,
         olap,
+        pii,
         pq,
         relational,
         similarity,
@@ -96,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
+    out.update(pii.QUERIES)
     out.update(components.QUERIES)
     out.update(ivf.QUERIES)
     out.update(pq.QUERIES)
@@ -122,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         ivf,
         multimodal,
         olap,
+        pii,
         pq,
         relational,
         similarity,
@@ -134,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
+    out.update(pii.ORACLES)
     out.update(components.ORACLES)
     # sim_topk_ivf: the search phase over materialized centroids
     # (k-means training stays Spark-side; operators/ivf.py docstring)
