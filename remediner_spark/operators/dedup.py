@@ -598,8 +598,127 @@ SELECT w.doc_id,
 FROM w LEFT JOIN hits h ON w.doc_id = h.doc_id"""
 
 
+# ------------------------------------------- paragraph-level dedup
+# RefinedWeb/Falcon-style exact dedup at PARAGRAPH granularity: the
+# dominant near-dup mass in a web corpus is boilerplate paragraphs
+# (nav text, newsletter prompts, copyright footers) repeated across
+# otherwise-distinct pages. Doc-level dedup can't touch it; this
+# removes every paragraph already seen earlier in the corpus (global
+# first occurrence by (doc_id, idx) wins) and reassembles each
+# document from its surviving paragraphs.
+#
+# Scale shape: explode is map-side; ONE shuffle on the paragraph key
+# with a map-side-partial min(struct(doc_id, idx)) aggregation — the
+# keeper row needs no second pass because the group key IS the
+# paragraph text — then one shuffle on doc_id to reassemble. No
+# window sort over duplicate sets, no join back to the exploded
+# stream. At 10^12 documents the group key would be a 128-bit content
+# hash with the text as payload; here the corpus is small enough to
+# key on the paragraph itself (exact, collision-free).
+#
+# The word-soup documents have no naturally repeated 12-word chunks,
+# so the gate synthesizes the web pathology deterministically: every
+# (doc_id + idx) residue class is replaced by one of two boilerplate
+# paragraphs (vocabulary disjoint from the corpus), mirrored in SQL.
+
+PARA_W = 12
+BOILER_A = "subscribe to our newsletter for all the latest updates"
+BOILER_B = "copyright example press all rights reserved worldwide"
+
+
+def _paras_expr():
+    d = F.col("doc_id")
+    ws = F.split(F.col("text"), " ")
+    nch = F.ceil(F.size(ws) / F.lit(float(PARA_W))).cast("int")
+
+    def mk(i):
+        return (
+            F.when((d + i) % 4 == 0, F.lit(BOILER_A))
+            .when((d + i) % 9 == 0, F.lit(BOILER_B))
+            .otherwise(
+                F.concat_ws(" ", F.slice(ws, i * PARA_W + 1, PARA_W))
+            )
+        )
+
+    return F.transform(F.sequence(F.lit(0), nch - 1), mk)
+
+
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = docs.select(
+        "doc_id",
+        _paras_expr().alias("paras"),
+    ).select(
+        "doc_id", F.size("paras").cast("long").alias("n_total"), "paras"
+    )
+    ex = base.select(
+        "doc_id", F.posexplode("paras").alias("idx", "para")
+    )
+    kept = (
+        ex.groupBy("para")
+        .agg(F.min(F.struct("doc_id", "idx")).alias("k"))
+        .select(
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.idx").alias("idx"),
+            "para",
+        )
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    return (
+        base.select("doc_id", "n_total")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            "n_total",
+        )
+    )
+
+
+def sql_dedup_paragraph() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+n AS (SELECT doc_id, ws,
+             CAST(ceil(len(ws) / {float(PARA_W)}) AS INT) AS nch
+      FROM w),
+ex AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+         CASE WHEN (doc_id + i) % 4 = 0 THEN '{BOILER_A}'
+              WHEN (doc_id + i) % 9 = 0 THEN '{BOILER_B}'
+              ELSE array_to_string(
+                ws[CAST(i*{PARA_W}+1 AS INT):CAST(i*{PARA_W}+{PARA_W} AS INT)],
+                ' ')
+         END AS para
+  FROM n, LATERAL unnest(range(nch)) AS t(i)),
+k AS (SELECT doc_id, idx, para,
+             row_number() OVER (
+               PARTITION BY para ORDER BY doc_id, idx) AS rn
+      FROM ex),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(para, ' ' ORDER BY idx) AS text_dedup
+        FROM k WHERE rn = 1 GROUP BY doc_id)
+SELECT n.doc_id,
+       coalesce(a.text_dedup, '') AS text_dedup,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(n.nch AS BIGINT) AS n_total
+FROM n LEFT JOIN agg a ON n.doc_id = a.doc_id"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_paragraph": q_dedup_paragraph,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -609,6 +728,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_paragraph": sql_dedup_paragraph(),
     "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
     "dedup_minhash_lsh": sql_dedup_minhash(),
     "dedup_simhash": sql_dedup_simhash(),

@@ -196,3 +196,50 @@ def test_lm_score_discriminates_gibberish(spark, tmp_path):
     assert len(real) == 80 and len(fake) == 20
     assert fake.max() < 0.5 * real.min()
     assert ((out["avg_p"] > 0) & (out["avg_p"] <= 1)).all()
+
+
+def test_dedup_paragraph_semantics(spark, tmp_path):
+    """Boilerplate paragraphs survive only at their global first
+    occurrence; unique paragraphs all survive; reassembly preserves
+    in-document order."""
+    import pandas as pd
+
+    from remediner_spark.operators.dedup import (
+        BOILER_A,
+        PARA_W,
+        q_dedup_paragraph,
+    )
+
+    # 6 docs x 36 words = 3 paragraphs each; vocab disjoint per doc so
+    # every non-boilerplate paragraph is globally unique
+    rows = []
+    for d in range(6):
+        words = [f"w{d}x{j}" for j in range(3 * PARA_W)]
+        rows.append((d, " ".join(words), "en", "s", 0))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(f"{tmp_path}/documents.parquet", index=False)
+
+    out = (
+        q_dedup_paragraph(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (out["n_total"] == 3).all()
+    # boilerplate A hits (d+i)%4==0, B hits (d+i)%9==0: doc 0 keeps
+    # both (first occurrence), later docs lose repeats
+    assert out.loc[0, "n_kept"] == 3
+    total_boiler_kept = sum(
+        r.count(BOILER_A) for r in out["text_dedup"]
+    )
+    assert total_boiler_kept == 1  # global first occurrence only
+    assert (out["n_kept"] <= out["n_total"]).all()
+    assert (out["n_kept"] < 3).any()  # some doc actually lost a para
+    # order preserved: doc 5 has no boilerplate slots at i where
+    # (5+i)%4==0 -> i=3 (out of range); (5+i)%9==0 -> i=4 (out of
+    # range): all three unique paras survive in original order
+    assert out.loc[5, "text_dedup"] == " ".join(
+        f"w5x{j}" for j in range(3 * PARA_W)
+    )
+    assert out.loc[5, "n_kept"] == 3
