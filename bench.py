@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "url_canonicalize",
     "join_asof",
     "join_range",
+    "topk_heavy_hitters",
 ]
 
 # base pages generated pandas-side, then tiled with distinct urls to

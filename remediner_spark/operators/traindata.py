@@ -520,6 +520,87 @@ SELECT ngram, count(*) AS df FROM inv GROUP BY ngram
 ORDER BY df DESC, ngram ASC LIMIT {TOP_NGRAMS_K}"""
 
 
+HH_K = 20
+HH_M = 64  # per-partition candidate budget
+
+
+def q_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k words via the TPUT/threshold two-round shape — the
+    form that survives a 10^9-distinct-token web vocabulary where
+    `top_ngrams`'s plain groupBy would shuffle one partial row per
+    (partition, word).
+
+    Round 1 is partition-LOCAL (mapInPandas, no shuffle): each
+    partition emits its exact top-M words plus one residual-bound row
+    (the (M+1)-th count). Any word outside the candidate union has
+    global count <= S = sum of residual bounds. Round 2 recounts ONLY
+    the candidates (broadcast semi-join before the groupBy, so the
+    shuffle carries at most partitions x M words, independent of
+    vocabulary size). The certificate t_k > S — k-th recounted
+    candidate strictly beats what any non-candidate could total —
+    makes the result provably exact, not approximate; it raises
+    (never silently degrades) if M was too small for the skew.
+    """
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "text"
+    )
+
+    def local_tops(batches):
+        from collections import Counter
+
+        c: Counter = Counter()
+        for pdf in batches:
+            for t in pdf["text"]:
+                c.update(t.split(" "))
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        head, tail = top[:HH_M], top[HH_M:]
+        bound = tail[0][1] if tail else 0
+        yield pd.DataFrame(
+            {
+                "word": [w for w, _ in head] + [None],
+                "cnt": [n for _, n in head] + [bound],
+            }
+        )
+
+    p1 = docs.mapInPandas(local_tops, "word string, cnt long").persist()
+    try:
+        s_row = (
+            p1.filter(F.col("word").isNull()).agg(F.sum("cnt")).collect()
+        )
+        residual = s_row[0][0] or 0
+        cand = p1.filter(F.col("word").isNotNull()).select("word").distinct()
+        words = docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        top = (
+            words.join(F.broadcast(cand), "word")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("word").asc())
+            .limit(HH_K)
+        )
+        if residual:
+            rows = top.collect()
+            t_k = rows[-1].cnt if len(rows) >= HH_K else 0
+            if t_k <= residual:
+                raise ValueError(
+                    f"heavy-hitter certificate failed: k-th count {t_k}"
+                    f" <= residual bound {residual}; raise HH_M"
+                )
+    finally:
+        p1.unpersist()
+    return top
+
+
+def sql_topk_heavy_hitters() -> str:
+    return f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM w GROUP BY word ORDER BY cnt DESC, word ASC LIMIT {HH_K}"""
+
+
 CHUNK_W = 16  # window (whitespace tokens) — sized to the fixture docs
 CHUNK_S = 8  # stride (W - S = overlap)
 
@@ -582,6 +663,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "top_ngrams": q_top_ngrams,
+    "topk_heavy_hitters": q_topk_heavy_hitters,
     "source_mixture": q_source_mixture,
     "sample_weighted": q_sample_weighted,
     "sample_temperature": q_sample_temperature,
@@ -595,6 +677,7 @@ ORACLES = {
     "decontaminate": sql_decontaminate(),
     "decontaminate_bloom": sql_decontaminate_bloom(),
     "top_ngrams": sql_top_ngrams(),
+    "topk_heavy_hitters": sql_topk_heavy_hitters(),
     "source_mixture": SQL_SOURCE_MIXTURE,
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
     "sample_temperature": SQL_SAMPLE_TEMPERATURE,

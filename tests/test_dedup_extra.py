@@ -243,3 +243,52 @@ def test_dedup_paragraph_semantics(spark, tmp_path):
         f"w5x{j}" for j in range(3 * PARA_W)
     )
     assert out.loc[5, "n_kept"] == 3
+
+
+def test_heavy_hitters_exact_vs_full_count(spark):
+    """The two-round TPUT result must equal the brute-force full
+    groupBy top-k exactly (same words, same counts, same order) — the
+    certificate claims exactness, so we hold it to it."""
+    import pyspark.sql.functions as F
+
+    from remediner_spark.operators.traindata import (
+        HH_K,
+        q_topk_heavy_hitters,
+    )
+
+    got = q_topk_heavy_hitters(spark, SF_DIR).toPandas()
+    full = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(HH_K)
+        .toPandas()
+    )
+    assert len(got) == HH_K
+    assert got["word"].tolist() == full["word"].tolist()
+    assert got["cnt"].tolist() == full["cnt"].tolist()
+
+
+def test_heavy_hitters_certificate_raises_on_flat_counts(spark, tmp_path):
+    """A uniform-count vocabulary defeats any local-top-M candidate
+    set (the (M+1)-th local count ties the k-th global count), and the
+    operator must REFUSE — raise the certificate error — rather than
+    return a silently arbitrary top-k."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from remediner_spark.operators.traindata import q_topk_heavy_hitters
+
+    # 200 words, each confined to one doc with exactly 10 copies: every
+    # word's global count is 10 no matter how the scan partitions.
+    rows = [
+        (i, " ".join([f"w{i:03d}"] * 10), "en", "s", 0) for i in range(200)
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(f"{tmp_path}/documents.parquet", index=False)
+
+    with _pytest.raises(ValueError, match="certificate"):
+        q_topk_heavy_hitters(spark, str(tmp_path))
