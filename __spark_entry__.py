@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pii,
         pq,
         relational,
+        search,
         similarity,
         tableops,
         textstats,
@@ -104,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(docpipe.QUERIES)
     out.update(textstats.QUERIES)
     out.update(dedup.QUERIES)
+    out.update(search.QUERIES)
     out.update(similarity.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(traindata.QUERIES)
@@ -127,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         pii,
         pq,
         relational,
+        search,
         similarity,
         tableops,
         textstats,
@@ -146,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(docpipe.ORACLES)
     out.update(textstats.ORACLES)
     out.update(dedup.ORACLES)
+    out.update(search.ORACLES)
     out.update(similarity.ORACLES)
     out.update(multimodal.ORACLES)
     out.update(traindata.ORACLES)

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "join_asof",
     "join_range",
     "topk_heavy_hitters",
+    "search_bm25",
 ]
 
 # base pages generated pandas-side, then tiled with distinct urls to

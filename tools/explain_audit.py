@@ -54,6 +54,8 @@ def main() -> int:
         "sim_topk_ivf",          # plan-side probe selection
         "join_range",            # bucketized range join
         "join_asof",             # union-sort-carry as-of join
+        "search_bm25",           # broadcast query join + WindowGroupLimit
+        "topk_heavy_hitters",    # broadcast candidate semi-join recount
     ]
     checks = {
         "r13_word_explode": ["PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"],
@@ -115,6 +117,17 @@ def main() -> int:
         # a LocalTableScan of query vectors in), candidates join the
         # broadcast probe hash-wise
         "sim_topk_ivf": ["BroadcastHashJoin", "!CartesianProduct"],
+        # BM25: the query-term table broadcasts (scoring stays
+        # map-side over the postings), per-query top-k is the running
+        # WindowGroupLimit, never an all-pairs join
+        "search_bm25": ["BroadcastHashJoin", "WindowGroupLimit",
+                        "!CartesianProduct"],
+        # heavy hitters: the round-2 recount joins the corpus against
+        # the BROADCAST candidate set before the groupBy (the one
+        # Exchange carries at most partitions x M candidate words),
+        # and the final top-k is TakeOrdered, not a global sort
+        "topk_heavy_hitters": ["BroadcastHashJoin",
+                               "TakeOrderedAndProject"],
     }
     failures = []
     for name in audit_set:
