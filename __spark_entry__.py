@@ -78,6 +78,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from remediner_spark.operators import (
+        bpe,
         components,
         dedup,
         docpipe,
@@ -99,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
     out.update(pii.QUERIES)
+    out.update(bpe.QUERIES)
     out.update(components.QUERIES)
     out.update(ivf.QUERIES)
     out.update(pq.QUERIES)
@@ -120,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from remediner_spark.operators import (
+        bpe,
         components,
         dedup,
         docpipe,
@@ -141,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
     out.update(pii.ORACLES)
+    out.update(bpe.ORACLES)
     out.update(components.ORACLES)
     # sim_topk_ivf: the search phase over materialized centroids
     # (k-means training stays Spark-side; operators/ivf.py docstring)
