@@ -418,6 +418,21 @@ def main() -> int:
         )
         record("pq_codebook_fit", fit_best)
 
+        # BPE tokenizer training: a training job like the PQ fit, so
+        # one labeled wall (min-of-2 would just re-train). The loop is
+        # vocabulary-grain — this wall is 6 merge rounds of Spark job
+        # overhead + one corpus-scan agg, not corpus-proportional work.
+        from remediner_spark.operators.bpe import train_bpe
+
+        def run_bpe() -> None:
+            _rules, final = train_bpe(spark, sf_dir)
+            final.unpersist()
+
+        bpe_best = _BestLeg()
+        bpe_best.run(run_bpe)
+        release_caches(spark)
+        record("bpe_train", bpe_best)
+
         queries = entrymod.queries()
         for name in BENCH_QUERIES:
             # time construction + execution together: some operators

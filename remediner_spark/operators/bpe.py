@@ -173,6 +173,36 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_doc_tokens(
+    spark: SparkSession, sf_dir: str, k: int = BPE_K
+) -> DataFrame:
+    """Apply the trained tokenizer to the corpus: per-doc token counts.
+
+    The model-apply step a pipeline runs after training — and the
+    shape that scales: tokenization cost is paid ONCE per distinct
+    word (the training loop already produced the tokenized
+    vocabulary), then a BROADCAST word->n_tokens join back to the
+    corpus grain keeps the whole pass map-side (no shuffle except the
+    final doc_id agg with map-side partials). At 100 TB the vocabulary
+    stays ~10^7 rows — comfortably broadcastable."""
+    _rules, final = train_bpe(spark, sf_dir, k)
+    wt = final.select(
+        "word", F.size("syms").cast("long").alias("w_tokens")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    return (
+        words.join(F.broadcast(wt), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("w_tokens").alias("n_tokens"),
+        )
+    )
+
+
 def _sql_iterations(k: int) -> str:
     """Unrolled K-iteration CTE chain shared by both oracles."""
     parts = [
@@ -238,12 +268,26 @@ SELECT word, cnt AS n_word, array_to_string(syms, ' ') AS tokens,
 FROM v{k}"""
 
 
+def sql_bpe_doc_tokens(k: int = BPE_K) -> str:
+    return f"""WITH {_sql_iterations(k)},
+wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS w_tokens FROM v{k})
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wt.w_tokens) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents) d
+JOIN wt USING (word)
+GROUP BY d.doc_id"""
+
+
 QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_tokenize": q_bpe_tokenize,
+    "bpe_doc_tokens": q_bpe_doc_tokens,
 }
 
 ORACLES = {
     "bpe_merges": sql_bpe_merges(),
     "bpe_tokenize": sql_bpe_tokenize(),
+    "bpe_doc_tokens": sql_bpe_doc_tokens(),
 }

@@ -77,3 +77,24 @@ def test_train_bpe_hand_derived(spark, tmp_path):
     assert toks["low"] == ["low"]
     assert toks["lower"] == ["low", "e", "r"]
     assert toks["aaaa"] == ["aa", "aa"]
+
+
+def test_bpe_doc_tokens_hand_derived(spark, tmp_path):
+    import pandas as pd
+
+    from remediner_spark.operators.bpe import q_bpe_doc_tokens
+
+    d = tmp_path / "bpecorpus2"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["low low lower", "low low lower", "aaaa"],
+        }
+    ).to_parquet(d / "documents.parquet")
+    rows = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in q_bpe_doc_tokens(spark, str(d), k=3).collect()
+    }
+    # low=[low](1), lower=[low,e,r](3), aaaa=[aa,aa](2)
+    assert rows == {1: (3, 5), 2: (3, 5), 3: (1, 2)}
