@@ -234,6 +234,34 @@ def _minhash_over_base(base_col):
     ]
 
 
+def _band_table(base: DataFrame) -> DataFrame:
+    """``base(doc_id, bh)`` (bh = per-shingle base hashes mod MH_P) ->
+    LSH band table ``(doc_id, band_idx, band_key)`` — signatures and
+    banding are map-side projections, the explode is MH_BANDS rows per
+    doc."""
+    sig = base.select("doc_id", *_minhash_over_base(F.col("bh")))
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"mh_{b * MH_ROWS + r}")
+                                for r in range(MH_ROWS)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(MH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+
+
 def minhash_pairs(
     docs: DataFrame, bucket_cap: int | None = None
 ) -> DataFrame:
@@ -260,27 +288,7 @@ def minhash_pairs(
             F.col("sh"), lambda s: md5_hash32_expr(s) % MH_P
         ).alias("bh"),
     )
-    sig = base.select("doc_id", *_minhash_over_base(F.col("bh")))
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.concat_ws(
-                            ":",
-                            *[
-                                F.col(f"mh_{b * MH_ROWS + r}")
-                                for r in range(MH_ROWS)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for b in range(MH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_key")
+    bands = _band_table(base)
     # the LSH bucket join is a SELF-join of `bands` — without a
     # persist both sides recompute the full shingle -> 24-minhash ->
     # band chain (measured ~2x the query wall at sf0.1; round 3's
@@ -716,6 +724,178 @@ SELECT n.doc_id,
 FROM n LEFT JOIN agg a ON n.doc_id = a.doc_id"""
 
 
+# ---------------------------------------------------------------------------
+# Incremental dedup: new crawl batch vs existing corpus index
+# ---------------------------------------------------------------------------
+
+NEW_SOURCE = "src0"  # the batch; every other source is the index
+# JACCARD_T = 0.6 as an integer cross-multiply: common/union >= 3/5
+INC_T_NUM, INC_T_DEN = 3, 5
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus index — the
+    production shape (daily crawl vs historical index), where the
+    batch is orders of magnitude smaller than the index.
+
+    Verdict per batch doc: 'exact' (normalized-text match in the
+    index), 'near_dup' (LSH band collision with an index doc AND
+    word-3-gram Jaccard >= 3/5), else 'keep'; match_doc_id = the
+    smallest matching index doc.
+
+    Scale shape — the index is NEVER shuffled:
+    * exact pass: index scan inner-joined against the BROADCAST batch
+      key set (map-side), then a tiny per-key min agg; the batch is
+      marked by broadcasting those matches back.
+    * near-dup pass: the batch's LSH band table (MH_BANDS rows/doc) is
+      BROADCAST against the index's map-side band projection; only
+      candidate index docs' shingle sets survive (semi-join) into the
+      exact-Jaccard verify, which compares integer-cross-multiplied
+      ratios — zero float thresholds. In production the index band
+      table and text keys are precomputed once and stored (the table
+      format's incremental scan feeds only new index files).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        md5_hash60_expr(F.lower(F.trim(F.col("text")))).alias("tkey"),
+        _shingles_expr(F.col("text")).alias("sh"),
+    )
+    docs = docs.select(
+        "doc_id",
+        "source",
+        "tkey",
+        F.size("sh").alias("n_sh"),
+        F.array_distinct(F.transform("sh", md5_hash60_expr)).alias("hsh"),
+        F.transform(
+            "sh", lambda s: md5_hash32_expr(s) % MH_P
+        ).alias("bh"),
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    batch = docs.filter(F.col("source") == NEW_SOURCE).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    index = docs.filter(F.col("source") != NEW_SOURCE)
+
+    # exact: index scan vs broadcast batch keys, min index doc per key
+    exact = (
+        index.select("tkey", "doc_id")
+        .join(F.broadcast(batch.select("tkey").distinct()), "tkey")
+        .groupBy("tkey")
+        .agg(F.min("doc_id").alias("exact_match"))
+    )
+    exact_marks = batch.select("doc_id", "tkey").join(
+        F.broadcast(exact), "tkey"
+    ).select("doc_id", "exact_match")
+
+    # near-dup: index band projection vs broadcast batch band table
+    bbands = _band_table(batch.select("doc_id", "bh")).select(
+        F.col("doc_id").alias("bdoc"), "band_idx", "band_key"
+    )
+    ibands = _band_table(index.select("doc_id", "bh")).select(
+        F.col("doc_id").alias("idoc"), "band_idx", "band_key"
+    )
+    cand = (
+        ibands.join(F.broadcast(bbands), ["band_idx", "band_key"])
+        .select("bdoc", "idoc")
+        .distinct()
+    )
+    iset = index.select(
+        F.col("doc_id").alias("idoc"),
+        F.col("hsh").alias("ish"),
+        F.col("n_sh").alias("n_i"),
+    ).join(cand.select("idoc").distinct(), "idoc")
+    bset = batch.select(
+        F.col("doc_id").alias("bdoc"),
+        F.col("hsh").alias("bsh"),
+        F.col("n_sh").alias("n_b"),
+    )
+    common = F.size(F.array_intersect("bsh", "ish"))
+    near = (
+        cand.join(iset, "idoc")
+        .join(F.broadcast(bset), "bdoc")
+        .filter(
+            common * F.lit(INC_T_DEN)
+            >= (F.col("n_b") + F.col("n_i") - common) * F.lit(INC_T_NUM)
+        )
+        .groupBy("bdoc")
+        .agg(F.min("idoc").alias("near_match"))
+        .withColumnRenamed("bdoc", "doc_id")
+    )
+
+    return (
+        batch.select("doc_id")
+        .join(exact_marks, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+            F.coalesce("exact_match", "near_match").alias("match_doc_id"),
+        )
+    )
+
+
+def sql_dedup_incremental() -> str:
+    sh = _shingles_sql("text")
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(bh, x -> (x * {MH_A[i]} "
+        f"+ {MH_B[i]}) % {MH_P}), 'min') AS mh_{i}"
+        for i in range(MH_K)
+    )
+
+    def band_rows(src: str, idc: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id AS {idc}, {b} AS band_idx, "
+            + " || ':' || ".join(
+                f"CAST(mh_{b * MH_ROWS + r} AS VARCHAR)"
+                for r in range(MH_ROWS)
+            )
+            + f" AS band_key FROM {src}"
+            for b in range(MH_BANDS)
+        )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         {md5_hash60_sql("lower(trim(text))")} AS tkey, {sh} AS sh
+  FROM documents),
+h AS (
+  SELECT doc_id, source, tkey, len(sh) AS n_sh,
+         list_distinct(list_transform(sh, s -> {md5_hash60_sql('s')})) AS hsh,
+         list_transform(sh, s -> ({md5_hash32_sql('s')}) % {MH_P}) AS bh
+  FROM d),
+b AS (SELECT * FROM h WHERE source = '{NEW_SOURCE}'),
+ix AS (SELECT * FROM h WHERE source <> '{NEW_SOURCE}'),
+ex AS (SELECT b.tkey, min(ix.doc_id) AS exact_match
+       FROM b JOIN ix ON b.tkey = ix.tkey GROUP BY 1),
+bsig AS (SELECT doc_id, {mh_cols} FROM b),
+isig AS (SELECT doc_id, {mh_cols} FROM ix),
+bbands AS ({band_rows('bsig', 'bdoc')}),
+ibands AS ({band_rows('isig', 'idoc')}),
+cand AS (SELECT DISTINCT bdoc, idoc
+         FROM ibands JOIN bbands USING (band_idx, band_key)),
+ver AS (
+  SELECT c.bdoc, c.idoc
+  FROM cand c JOIN b ON b.doc_id = c.bdoc JOIN ix ON ix.doc_id = c.idoc
+  WHERE len(list_intersect(b.hsh, ix.hsh)) * {INC_T_DEN}
+        >= (b.n_sh + ix.n_sh - len(list_intersect(b.hsh, ix.hsh)))
+           * {INC_T_NUM}),
+nr AS (SELECT bdoc AS doc_id, min(idoc) AS near_match
+       FROM ver GROUP BY 1)
+SELECT b.doc_id,
+       CASE WHEN ex.exact_match IS NOT NULL THEN 'exact'
+            WHEN nr.near_match IS NOT NULL THEN 'near_dup'
+            ELSE 'keep' END AS verdict,
+       coalesce(ex.exact_match, nr.near_match) AS match_doc_id
+FROM b
+LEFT JOIN ex ON ex.tkey = b.tkey
+LEFT JOIN nr ON nr.doc_id = b.doc_id"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_paragraph": q_dedup_paragraph,
@@ -724,6 +904,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embed_cosine": q_dedup_embed_cosine,
     "dedup_span_coverage": q_dedup_span_coverage,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 ORACLES = {
@@ -734,4 +915,5 @@ ORACLES = {
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_embed_cosine": SQL_DEDUP_EMBED,
     "dedup_span_coverage": sql_dedup_span_coverage(),
+    "dedup_incremental": sql_dedup_incremental(),
 }

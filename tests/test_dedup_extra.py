@@ -292,3 +292,44 @@ def test_heavy_hitters_certificate_raises_on_flat_counts(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="certificate"):
         q_topk_heavy_hitters(spark, str(tmp_path))
+
+
+def test_dedup_incremental_verdicts(spark, tmp_path):
+    """Hand corpus: batch (src0) has an exact dup, a near dup, a
+    unique doc, and a normalized-only match (lower+trim) of an index
+    doc; exact wins precedence over near-dup and match_doc_id is the
+    smallest matching index doc."""
+    import pandas as pd
+
+    from remediner_spark.operators.dedup import q_dedup_incremental
+
+    words = [f"w{i}" for i in range(20)]
+    base = " ".join(words)                      # 20 words, 18 3-grams
+    near_b = " ".join(words[:-1] + ["NEARY"])   # J vs base = 15/21 >= 3/5
+    near_i = " ".join(words[:-1] + ["NEARX"])
+    uniq = " ".join(f"unique{i}" for i in range(20))
+    d = tmp_path / "inc"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 10, 11],
+            "source": ["src0"] * 4 + ["src1", "src2"],
+            "text": [
+                base,                    # 1: exact dup of 10
+                near_b,                  # 2: near dup of 10 and 11
+                uniq,                    # 3: keep
+                "  " + base.upper() + " ",  # 4: exact after lower+trim
+                base,                    # 10: index
+                near_i,                  # 11: index
+            ],
+        }
+    ).to_parquet(d / "documents.parquet")
+    rows = {
+        r["doc_id"]: (r["verdict"], r["match_doc_id"])
+        for r in q_dedup_incremental(spark, str(d)).collect()
+    }
+    assert rows[1] == ("exact", 10)
+    assert rows[2] == ("near_dup", 10)
+    assert rows[3] == ("keep", None)
+    assert rows[4] == ("exact", 10)
+    assert set(rows) == {1, 2, 3, 4}
