@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "join_range",
     "topk_heavy_hitters",
     "search_bm25",
+    "dedup_incremental",
 ]
 
 # base pages generated pandas-side, then tiled with distinct urls to
