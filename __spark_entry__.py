@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pq,
         relational,
         search,
+        semdedup,
         similarity,
         tableops,
         textstats,
@@ -108,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(textstats.QUERIES)
     out.update(dedup.QUERIES)
     out.update(search.QUERIES)
+    out.update(semdedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(traindata.QUERIES)
@@ -133,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
         pq,
         relational,
         search,
+        semdedup,
         similarity,
         tableops,
         textstats,
@@ -154,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(textstats.ORACLES)
     out.update(dedup.ORACLES)
     out.update(search.ORACLES)
+    out.update(semdedup.oracles())
     out.update(similarity.ORACLES)
     out.update(multimodal.ORACLES)
     out.update(traindata.ORACLES)

@@ -135,19 +135,19 @@ def _query_probe_cells(centers: list[list[float]], qv: list[float]) -> list[int]
     return [cell for _d, cell in ds[:NPROBE]]
 
 
-def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k neighbors per query, searching only the query's NPROBE
-    nearest k-means cells."""
+def ensure_centroids(
+    spark: SparkSession, emb: DataFrame
+) -> list[list[float]]:
+    """Fit the seeded NLIST k-means and materialize the centroids to
+    the oracle side file (atomic tmp+rename). The fit is seeded and
+    the input fixed per sf_dir, so every caller (IVF search, SemDeDup)
+    writes identical content — last-writer-wins is a no-op."""
     import os
     import tempfile
 
     import pandas as pd
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
     centers = _fit_centroids(spark, emb)
-    # materialize the learned centroids for the oracle (atomic rename)
     path = centroids_path()
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
@@ -156,7 +156,17 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"cell": list(range(len(centers))), "c": centers}
     ).to_parquet(tmp, index=False)
     os.replace(tmp, path)
+    return centers
 
+
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k neighbors per query, searching only the query's NPROBE
+    nearest k-means cells."""
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    centers = ensure_centroids(spark, emb)
     assigned = emb.withColumn(
         "cell", F.array_min(_d2_cell_structs(F.col("v"), centers))["cell"]
     ).cache()
