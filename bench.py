@@ -473,6 +473,15 @@ def main() -> int:
     if stream_best is not None:
         record("stream_edge_merge", stream_best)
 
+    # The final stdout line must stay COMPACT (<~1.8 KB): the driver
+    # locates the bench JSON inside a ~2,000-char stdout tail window,
+    # and r6's evidence-laden 4.4 KB line overflowed it (BENCH_r06
+    # parsed: null — a +16% headline with no driver record). Headline
+    # certificate on the last line; the noisy-neighbor evidence
+    # (probes / q_cpu / q_host_other — what makes walls falsifiable on
+    # a shared host, see CLAUDE.md) goes to BENCH/evidence.json AND an
+    # earlier stdout line so it still ships even if the file write is
+    # not committed.
     result = {
         "metric": "triples_per_sec",
         "value": round(triples_per_sec, 1),
@@ -485,28 +494,43 @@ def main() -> int:
         "n_pages": h_pages,
         "series_n_pages": n_pages,
         "n_triples": n_triples,
-        # noisy-neighbor evidence, three independent signals so the
-        # artifact itself proves or disproves host load (r5 verdict:
-        # relative-only detection calibrates uniform load in):
-        # 1. burst_retries — sections re-run after a RELATIVE probe
-        #    excursion (>1.5x calibration);
-        # 2. probe_base + probes — the ABSOLUTE wall of the fixed
-        #    pure-python probe at calibration and after each section
-        #    (~0.105 s on this host idle; uniformly higher values =
-        #    uniformly loaded host, walls scale accordingly);
-        # 3. q_cpu / q_host_other — per-query: CPU burned by OUR
-        #    process tree vs busy CPU on the host that was NOT ours
-        #    during the same (best) leg. host_other near zero proves
-        #    the wall was measured on an otherwise-idle machine.
         "burst_retries": guard.retries,
         "probe_base": round(guard.base, 4),
-        "probes": guard.probes,
-        "q_cpu": q_cpu,
-        "q_host_other": q_host_other,
         "loadavg_end": round(os.getloadavg()[0], 2),
         "host_cores": os.cpu_count(),
     }
-    print(json.dumps(result))
+    evidence = {
+        # noisy-neighbor evidence, three independent signals so the
+        # artifact itself proves or disproves host load:
+        # 1. burst_retries — sections re-run after a RELATIVE probe
+        #    excursion (>1.5x calibration);
+        # 2. probe_base + probes — ABSOLUTE wall of the fixed
+        #    pure-python probe at calibration and after each section
+        #    (~0.105 s idle on this host);
+        # 3. q_cpu / q_host_other — CPU burned by OUR process tree vs
+        #    busy host CPU that was NOT ours during the best leg.
+        "headline": result,
+        "probes": guard.probes,
+        "q_cpu": q_cpu,
+        "q_host_other": q_host_other,
+    }
+    ev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH", "evidence.json")
+    try:
+        os.makedirs(os.path.dirname(ev_path), exist_ok=True)
+        with open(ev_path, "w") as f:
+            json.dump(evidence, f, indent=1)
+    except OSError:
+        pass
+    print("BENCH_EVIDENCE " + json.dumps(evidence))
+    line = json.dumps(result)
+    if len(line) > 1800:  # never let the certificate overflow again
+        slim = dict(result)
+        slim["queries"] = {k: v for k, v in sorted(
+            q_times.items(), key=lambda kv: -kv[1])[:30]}
+        slim["queries_truncated"] = len(q_times) - len(slim["queries"])
+        line = json.dumps(slim)
+    print(line)
     spark.stop()
     return 0
 

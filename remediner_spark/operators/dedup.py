@@ -339,11 +339,20 @@ def minhash_pairs(
     return all_pairs(small).unionByName(star).dropDuplicates()
 
 
+# The registered gate entry runs minhash_pairs WITH the production
+# star-link guard active (r6 verdict #3: an uncapped gate never
+# cross-engine-verifies the guard path). 2 is a GATE-SCALE value
+# picked so the path actually fires on the synthetic corpus (max
+# bucket size at sf0.01 is 3; production crawls pass ~500-5000) —
+# the DuckDB oracle mirrors the same star-link decision.
+MH_BUCKET_CAP = 2
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", _shingles_expr(F.col("text")).alias("sh")
     )
-    return minhash_pairs(docs)
+    return minhash_pairs(docs, bucket_cap=MH_BUCKET_CAP)
 
 
 def sql_dedup_minhash() -> str:
@@ -365,11 +374,22 @@ def sql_dedup_minhash() -> str:
     return f"""
 WITH s AS (SELECT doc_id, {sh} AS sh FROM documents),
 sig AS (SELECT doc_id, {mh_cols} FROM s),
-bands AS ({band_rows})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
- AND a.doc_id < b.doc_id"""
+bands AS ({band_rows}),
+sizes AS (
+  SELECT band_idx, band_key, count(*) AS n, min(doc_id) AS hub
+  FROM bands GROUP BY band_idx, band_key),
+tagged AS (
+  SELECT b.doc_id, b.band_idx, b.band_key, s.n, s.hub
+  FROM bands b JOIN sizes s USING (band_idx, band_key))
+SELECT DISTINCT doc_a, doc_b FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM tagged a JOIN tagged b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  WHERE a.n <= {MH_BUCKET_CAP}
+  UNION ALL
+  SELECT hub AS doc_a, doc_id AS doc_b FROM tagged
+  WHERE n > {MH_BUCKET_CAP} AND doc_id <> hub)"""
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,8 +16,12 @@ Spark shape:
 * within-cluster pairs — a self-join that shuffles on cell id only;
   at 100 TB NLIST scales with the corpus (the paper runs 50k clusters
   for LAION) so per-cell candidate sets stay bounded; a degenerate
-  hot cell would take the minhash_pairs star-link cap (same
-  output-skew class — see operators/dedup.py bucket_cap).
+  hot cell (near-duplicate-saturated crawls produce exactly that)
+  takes the ``cell_cap`` star-link guard — cells above the cap only
+  compare members against the cell's min-id hub, O(K) work instead of
+  O(K^2), the same output-skew mitigation as
+  dedup.minhash_pairs(bucket_cap=...). The gate entry runs with the
+  cap ON and the DuckDB oracle mirrors the capped decision.
 * keeper rule — greedy min-id: a vector is dropped iff a
   smaller-id vector in its cell is cosine-similar; dup_of names the
   smallest such keeper. Deterministic and exactly mirrorable in SQL.
@@ -40,11 +44,32 @@ from .similarity import _as_double, _cosine
 
 SEM_T = 0.45  # same margin rationale as dedup.COS_T at sf0.01
 
+# Hot-cell guard (r6 verdict #2): cells larger than CELL_CAP give up
+# exact within-cell all-pairs and star-link instead — each member is
+# compared ONLY against the cell's min-vec_id hub. 60 is a GATE-SCALE
+# value picked so BOTH code paths fire cross-engine on the synthetic
+# embeddings: the largest cells (73 at sf0.001, 2x78 at sf0.01)
+# star-link, while the mid-size cells that carry the actual cosine
+# duplicates (n=53/59 and n=22/33/3) keep exact all-pairs, so the
+# drop path stays exercised too. A production run sizes the cap to
+# executor memory (e.g. 10k). The DuckDB oracle mirrors the same
+# capped decision.
+CELL_CAP = 60
+
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
+    return semdedup(spark, emb, cell_cap=CELL_CAP)
+
+
+def semdedup(
+    spark: SparkSession, emb: DataFrame, cell_cap: int | None = CELL_CAP
+) -> DataFrame:
+    """SemDeDup verdict over ``emb(vec_id, v)``; ``cell_cap`` is the
+    100 TB hot-cell guard (None = exact all-pairs in every cell —
+    unsafe on real crawls, kept for the capped-vs-uncapped test)."""
     centers = ensure_centroids(spark, emb)
     from pyspark.storagelevel import StorageLevel
 
@@ -57,18 +82,61 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(_d2_cell_structs(F.col("v"), centers))["cell"]
         .cast("long"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    def pair_cols(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("a.vec_id").alias("aid"),
+            F.col("a.v").alias("av"),
+            F.col("b.vec_id").alias("bid"),
+            F.col("b.v").alias("bv"),
+        )
+
+    if cell_cap is None:
+        cand = pair_cols(
+            assigned.alias("a").join(
+                assigned.alias("b"),
+                (F.col("a.cell") == F.col("b.cell"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+        )
+    else:
+        # one extra agg over the persisted assignment: cell sizes +
+        # hub (min vec_id). Small cells keep exact all-pairs; a cell
+        # above the cap emits only (hub, member) pairs — O(K), so one
+        # degenerate k-means cell can no longer go quadratic (the
+        # 600M-pair class that killed a JVM in r6's LSH).
+        sizes = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min("vec_id").alias("_hub"),
+        )
+        tagged = assigned.join(F.broadcast(sizes), "cell")
+        small = tagged.filter(F.col("_n") <= cell_cap).select(
+            "cell", "vec_id", "v"
+        )
+        small_pairs = pair_cols(
+            small.alias("a").join(
+                small.alias("b"),
+                (F.col("a.cell") == F.col("b.cell"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+        )
+        hubs = tagged.filter(
+            (F.col("_n") > cell_cap) & (F.col("vec_id") == F.col("_hub"))
+        ).select("cell", "vec_id", "v")
+        spokes = tagged.filter(
+            (F.col("_n") > cell_cap) & (F.col("vec_id") != F.col("_hub"))
+        ).select("cell", "vec_id", "v")
+        star_pairs = pair_cols(
+            hubs.alias("a").join(
+                spokes.alias("b"), F.col("a.cell") == F.col("b.cell")
+            )
+        )
+        cand = small_pairs.unionByName(star_pairs)
     dup = (
-        assigned.alias("a")
-        .join(
-            assigned.alias("b"),
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        cand.filter(
+            F.round(_cosine(F.col("av"), F.col("bv")), 6) >= SEM_T
         )
-        .filter(
-            F.round(_cosine(F.col("a.v"), F.col("b.v")), 6) >= SEM_T
-        )
-        .groupBy(F.col("b.vec_id").alias("vec_id"))
-        .agg(F.min(F.col("a.vec_id")).alias("dup_of"))
+        .groupBy(F.col("bid").alias("vec_id"))
+        .agg(F.min(F.col("aid")).alias("dup_of"))
     )
     return (
         assigned.select("vec_id", "cell")
@@ -98,12 +166,26 @@ assigned AS (
     SELECT *, row_number() OVER (
         PARTITION BY vec_id ORDER BY d2, cell) AS rn
     FROM dist) WHERE rn = 1),
-dup AS (
-  SELECT b.vec_id, min(a.vec_id) AS dup_of
-  FROM assigned a JOIN assigned b
+sizes AS (
+  SELECT cell, count(*) AS n, min(vec_id) AS hub
+  FROM assigned GROUP BY cell),
+tagged AS (
+  SELECT a.vec_id, a.v, a.cell, s.n, s.hub
+  FROM assigned a JOIN sizes s USING (cell)),
+cand AS (
+  SELECT a.vec_id AS aid, a.v AS av, b.vec_id AS bid, b.v AS bv
+  FROM tagged a JOIN tagged b
     ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {SEM_T}
-  GROUP BY b.vec_id)
+  WHERE a.n <= {CELL_CAP}
+  UNION ALL
+  SELECT h.vec_id, h.v, m.vec_id, m.v
+  FROM tagged h JOIN tagged m ON h.cell = m.cell
+  WHERE h.n > {CELL_CAP} AND h.vec_id = h.hub AND m.vec_id <> m.hub),
+dup AS (
+  SELECT bid AS vec_id, min(aid) AS dup_of
+  FROM cand
+  WHERE round(list_cosine_similarity(av, bv), 6) >= {SEM_T}
+  GROUP BY bid)
 SELECT s.vec_id, s.cell, d.dup_of IS NULL AS keep, d.dup_of
 FROM assigned s LEFT JOIN dup d USING (vec_id)"""
 

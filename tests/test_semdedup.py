@@ -1,12 +1,14 @@
 """SemDeDup referee: the cell self-join + greedy min-id keeper must
 agree with a driver-side brute-force recomputation over the same
 cluster assignment (cosines accumulated sequentially, like the Spark
-fold)."""
+fold), INCLUDING the hot-cell star-link guard (cells above CELL_CAP
+only compare members against the cell's min-id hub)."""
 
 from __future__ import annotations
 
 import math
 import os
+from collections import Counter
 
 import pytest
 
@@ -29,7 +31,11 @@ def _seq_cosine(a, b):
 def test_semdedup_matches_bruteforce(spark):
     if not os.path.exists(f"{SF_DIR}/embeddings.parquet"):
         pytest.skip("testdata missing")
-    from remediner_spark.operators.semdedup import SEM_T, q_semdedup
+    from remediner_spark.operators.semdedup import (
+        CELL_CAP,
+        SEM_T,
+        q_semdedup,
+    )
 
     rows = q_semdedup(spark, SF_DIR).collect()
     emb = {
@@ -40,16 +46,25 @@ def test_semdedup_matches_bruteforce(spark):
     }
     cell = {r["vec_id"]: r["cell"] for r in rows}
     assert set(cell) == set(emb)
+    sizes = Counter(cell.values())
+    hub = {}
+    for vid, c in cell.items():
+        if c not in hub or vid < hub[c]:
+            hub[c] = vid
+    # the synthetic table must exercise BOTH code paths: at least one
+    # cell over the cap (star-linked) and one at-or-under (all-pairs)
+    assert max(sizes.values()) > CELL_CAP
+    assert min(sizes.values()) <= CELL_CAP
     dropped = 0
     for r in rows:
         vid = r["vec_id"]
-        sims = [
-            o
-            for o in emb
-            if o < vid
-            and cell[o] == cell[vid]
-            and _seq_cosine(emb[o], emb[vid]) >= SEM_T
-        ]
+        c = cell[vid]
+        if sizes[c] > CELL_CAP:
+            # star cell: only the hub can claim vid
+            cands = [hub[c]] if hub[c] < vid else []
+        else:
+            cands = [o for o in emb if o < vid and cell[o] == c]
+        sims = [o for o in cands if _seq_cosine(emb[o], emb[vid]) >= SEM_T]
         if sims:
             assert r["keep"] is False and r["dup_of"] == min(sims)
             dropped += 1
@@ -57,3 +72,45 @@ def test_semdedup_matches_bruteforce(spark):
             assert r["keep"] is True and r["dup_of"] is None
     # the sf0.001 table must exercise the drop path, not just keeps
     assert dropped > 0
+
+
+def test_semdedup_cell_cap_star_links(spark):
+    """One degenerate cell above the cap: every member must be judged
+    against the hub ONLY — pair work is O(K), and the keeper set is
+    exactly the star-linked expectation (verdict r6 #2)."""
+    from remediner_spark.operators.semdedup import SEM_T, semdedup
+
+    dim = 4
+    # 8 near-identical vectors (one tight cluster -> one k-means cell)
+    # plus a far-away singleton so KMeans has spread to work with.
+    rows = []
+    for i in range(8):
+        v = [1.0, 0.001 * i, 0.0, 0.0]
+        rows.append((i, v))
+    rows.append((100, [0.0, 0.0, 1.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id: long, v: array<double>")
+
+    import remediner_spark.operators.ivf as ivf
+
+    # tiny corpus: fit 2 cells instead of the production NLIST (the
+    # centroid side-file is refit from the input on every call, so
+    # overwriting it here cannot poison later oracle runs)
+    old_nlist = ivf.NLIST
+    ivf.NLIST = 2
+    try:
+        capped = {
+            r["vec_id"]: r
+            for r in semdedup(spark, emb, cell_cap=4).collect()
+        }
+    finally:
+        ivf.NLIST = old_nlist
+
+    # the 8-vector cell exceeds cap=4 -> star-linked on hub vec_id=0:
+    # every other member is cosine~1 to the hub, so all are dropped
+    # with dup_of == 0 — NOT dup_of == vid-1 (the all-pairs verdict).
+    assert capped[0]["keep"] is True
+    for i in range(1, 8):
+        assert capped[i]["keep"] is False
+        assert capped[i]["dup_of"] == 0
+    # the far singleton is its own cell -> kept
+    assert capped[100]["keep"] is True
