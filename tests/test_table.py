@@ -1989,3 +1989,51 @@ def test_snapshot_tags_pin_retention(spark, tmp_path):
         tag_snapshot(path, "x", snapshot_id=99)
     with pytest.raises(ValueError, match="not both"):
         read_table(spark, path, snapshot_id=4, tag="audited")
+
+
+def test_compaction_folds_emptied_partition_no_loop(spark, tmp_path):
+    """Delete EVERY row of one partition via pending MoR predicate
+    deletes, then compact twice: the first pass folds the deletes and
+    drops the emptied partition's files from the manifest; the second
+    pass is a NO-OP (same snapshot) — the r5 ADVICE no-progress loop
+    (emptied partitions re-qualifying for compaction forever) stays
+    dead after the a3fc09f fix."""
+    import pandas as pd
+
+    from remediner_spark.sources.table import (
+        _load_snapshots,
+        compact_table,
+        delete_range,
+    )
+
+    path = str(tmp_path / "tbl")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(200)),
+            "lang": ["de" if i < 100 else "en" for i in range(200)],
+            "val": [i if i < 100 else 1000 + i for i in range(200)],
+        }
+    )
+    write_table(spark.createDataFrame(pdf), path, partition_by=["lang"])
+    # two MoR cuts that TOGETHER cover every de row ([0,99]); each one
+    # only OVERLAPS the de file's val stats, so neither can take the
+    # metadata-only full-drop path — both must land as pending
+    # predicate-delete entries
+    delete_range(spark, path, "val", 0, 50, strategy="mor")
+    s2 = delete_range(spark, path, "val", 51, 99, strategy="mor")
+    assert s2.get("delete_files"), "setup must leave pending MoR deletes"
+    got = read_table(spark, path).toPandas()
+    assert set(got["lang"]) == {"en"} and len(got) == 100
+
+    snap = compact_table(spark, path)
+    assert not snap.get("delete_files")  # deletes folded
+    # the emptied partition's files left the manifest entirely
+    assert all(
+        f["partition"].get("lang") != "de" for f in _snap_files(path, snap)
+    )
+    got = read_table(spark, path).toPandas()
+    assert set(got["lang"]) == {"en"} and len(got) == 100
+
+    again = compact_table(spark, path)
+    assert again["snapshot_id"] == snap["snapshot_id"]
+    assert _load_snapshots(path)[-1]["snapshot_id"] == snap["snapshot_id"]
