@@ -118,3 +118,84 @@ def test_frame_words_for_inference_truncation(tok):
     assert all(
         (out[i] == -1) == (i not in covered) for i in range(len(words))
     )
+
+
+# ------------------------- user-supplied real-vocab ingestion (7a) ---
+
+_MINI_HF_VOCAB = (
+    ["[PAD]"] + [f"unused{i}" for i in range(99)]
+    + ["[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    + list("abcdefghijklmnopqrstuvwxyz")
+    + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz"]
+    + ["una", "##ffa", "##ble", "aspirin", "##in"]
+)
+
+
+def _write_vocab(tmp_path, lines, name="vocab.txt"):
+    p = tmp_path / name
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    return str(p)
+
+
+class TestUserVocabIngestion:
+    def test_env_override_reaches_default_constructor(
+        self, tmp_path, monkeypatch
+    ):
+        path = _write_vocab(tmp_path, _MINI_HF_VOCAB)
+        monkeypatch.setenv("REMEDINER_WORDPIECE_VOCAB", path)
+        tok = WordPieceTokenizer()  # no explicit path: env wins
+        # the canonical HF wordpiece example
+        assert tok.tokenize("unaffable") == ["una", "##ffa", "##ble"]
+        # ids are line numbers of the USER file (HF convention):
+        # [PAD]=0, [UNK]=100, [CLS]=101, [SEP]=102 in this layout
+        assert tok.convert_tokens_to_ids(["[PAD]", "[UNK]", "[CLS]", "[SEP]"]) \
+            == [0, 100, 101, 102]
+        assert tok.convert_tokens_to_ids(["una"])[0] == _MINI_HF_VOCAB.index("una")
+
+    def test_explicit_path_beats_env(self, tmp_path, monkeypatch):
+        env_path = _write_vocab(tmp_path, _MINI_HF_VOCAB, "env.txt")
+        monkeypatch.setenv("REMEDINER_WORDPIECE_VOCAB", env_path)
+        other = _write_vocab(
+            tmp_path,
+            ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "zz", "##zz"],
+            "other.txt",
+        )
+        tok = WordPieceTokenizer(vocab_path=other)
+        assert tok.tokenize("zzzz") == ["zz", "##zz"]
+
+    def test_validate_vocab(self, tmp_path):
+        import sys as _sys, os as _os
+        _sys.path.insert(0, _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "tools"))
+        from gen_wordpiece_vocab import validate_vocab
+
+        good = _write_vocab(tmp_path, _MINI_HF_VOCAB, "good.txt")
+        assert len(validate_vocab(good)) == len(_MINI_HF_VOCAB)
+        for bad_lines, name in [
+            (_MINI_HF_VOCAB + ["una"], "dup.txt"),            # duplicate
+            (["[PAD]", "[UNK]", "a", "##a"], "nospecial.txt"), # no CLS/SEP
+            (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a"], "nocont.txt"),
+        ]:
+            bad = _write_vocab(tmp_path, bad_lines, name)
+            with pytest.raises(SystemExit):
+                validate_vocab(bad)
+
+    def test_pipeline_label_propagation_under_user_vocab(
+        self, tmp_path, monkeypatch
+    ):
+        """A5+M3 word-level invariance holds under an ingested vocab
+        too (the parity boundary is subtoken boundaries only)."""
+        path = _write_vocab(tmp_path, _MINI_HF_VOCAB)
+        monkeypatch.setenv("REMEDINER_WORDPIECE_VOCAB", path)
+        tok = WordPieceTokenizer()
+        words = ["aspirin", "caused", "unaffable", "pain"]
+        labels = [1, 0, 0, 3]
+        toks, labs = tokenize_words_with_labels(words, labels, tok)
+        # first-subtoken convention: each word's pieces carry its label
+        assert labs[: len(tok.tokenize("aspirin"))] == [1] * len(
+            tok.tokenize("aspirin")
+        )
+        ids, att, framed = frame_bert_input(toks, labs, 16, tok)
+        assert len(ids) == len(att) == len(framed) == 16
+        assert framed[0] == -100 and ids[0] == tok.convert_tokens_to_ids([CLS])[0]

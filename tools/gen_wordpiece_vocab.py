@@ -9,7 +9,17 @@ longer units), so greedy max-munch always terminates without [UNK]
 for ASCII prose and splits lexicon terms into realistic multi-piece
 sequences.
 
-Usage: python tools/gen_wordpiece_vocab.py   (rewrites the resource)
+Usage:
+    python tools/gen_wordpiece_vocab.py
+        regenerate the frozen corpus-derived vocab resource
+    python tools/gen_wordpiece_vocab.py --ingest /path/to/vocab.txt
+        validate a USER-SUPPLIED real vocab (e.g. bert-base-cased's
+        vocab.txt, one token per line, ids = line numbers — the HF file
+        format) and install it as the package resource, closing the A5
+        subtoken-boundary parity deviation for out-of-corpus text.
+        Alternatively leave the resource alone and export
+        REMEDINER_WORDPIECE_VOCAB=/path/to/vocab.txt — every
+        default-constructed WordPieceTokenizer honors it.
 """
 
 from __future__ import annotations
@@ -88,9 +98,53 @@ def build_vocab() -> list[str]:
     return vocab
 
 
+REQUIRED_SPECIALS = ("[PAD]", "[UNK]", "[CLS]", "[SEP]")
+
+
+def validate_vocab(path: str) -> list[str]:
+    """Check a user-supplied vocab file is usable: non-empty, one token
+    per line, no duplicates, all four framing specials present, and at
+    least one '##' continuation piece (a vocab without continuations
+    would [UNK] every multi-piece word). Returns the token list."""
+    with open(path, encoding="utf-8") as f:
+        toks = [line.rstrip("\n") for line in f]
+    if toks and toks[-1] == "":
+        toks.pop()  # trailing newline
+    if not toks:
+        raise SystemExit(f"{path}: empty vocab")
+    dupes = len(toks) - len(set(toks))
+    if dupes:
+        raise SystemExit(f"{path}: {dupes} duplicate tokens")
+    missing = [s for s in REQUIRED_SPECIALS if s not in toks]
+    if missing:
+        raise SystemExit(f"{path}: missing specials {missing}")
+    if not any(t.startswith("##") for t in toks):
+        raise SystemExit(
+            f"{path}: no '##' continuation pieces — not a WordPiece vocab"
+        )
+    return toks
+
+
+def ingest(path: str, out: str = OUT) -> int:
+    toks = validate_vocab(path)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w", encoding="utf-8") as f:
+        f.write("\n".join(toks) + "\n")
+    return len(toks)
+
+
 if __name__ == "__main__":
-    os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    vocab = build_vocab()
-    with open(OUT, "w", encoding="utf-8") as f:
-        f.write("\n".join(vocab) + "\n")
-    print(f"wrote {len(vocab)} tokens to {OUT}")
+    if len(sys.argv) >= 3 and sys.argv[1] == "--ingest":
+        n = ingest(sys.argv[2])
+        print(f"installed {n}-token user vocab from {sys.argv[2]} to {OUT}")
+        print(
+            "note: ids are line numbers; pass the SAME file's tokenizer "
+            "to NumpyBertTagger.from_state_dict so ids match the "
+            "checkpoint's embedding rows"
+        )
+    else:
+        os.makedirs(os.path.dirname(OUT), exist_ok=True)
+        vocab = build_vocab()
+        with open(OUT, "w", encoding="utf-8") as f:
+            f.write("\n".join(vocab) + "\n")
+        print(f"wrote {len(vocab)} tokens to {OUT}")
