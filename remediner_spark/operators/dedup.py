@@ -318,13 +318,23 @@ def minhash_pairs(
 
     if bucket_cap is None:
         return all_pairs(bands).dropDuplicates()
-    # bucket sizes + hub (min doc_id) in one agg over the same
-    # persisted band table; small buckets keep exact all-pairs, large
-    # ones collapse to the O(K) star
-    sizes = bands.groupBy("band_idx", "band_key").agg(
-        F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_hub")
+    # bucket sizes + hub (min doc_id) via a WINDOW over the band key:
+    # one exchange on (band_idx, band_key) that the all_pairs
+    # self-join below then reuses (its join keys are a prefix of the
+    # window partitioning), vs. the agg+join form's two extra
+    # exchanges — measured 2.95 s -> window form in
+    # BENCH/dedup_decomp.json. Window sort within a bucket is
+    # K log K, dominated by the K^2 pair emission the cap bounds.
+    from pyspark.sql.window import Window
+
+    wspec = Window.partitionBy("band_idx", "band_key")
+    tagged = bands.select(
+        "doc_id",
+        "band_idx",
+        "band_key",
+        F.count(F.lit(1)).over(wspec).alias("_n"),
+        F.min("doc_id").over(wspec).alias("_hub"),
     )
-    tagged = bands.join(sizes, ["band_idx", "band_key"])
     small = tagged.filter(F.col("_n") <= bucket_cap).select(
         "doc_id", "band_idx", "band_key"
     )

@@ -237,6 +237,39 @@ def generate_pages(n_pages: int, seed: int = SEED) -> tuple[pd.DataFrame, pd.Dat
     return pages, ann
 
 
+def add_outlinks(pages: pd.DataFrame) -> pd.DataFrame:
+    """Inject deterministic ``<a href>`` outlinks into each page's html
+    — the web-graph dimension of a Common-Crawl-style corpus (link
+    extraction, host graphs, PageRank over the crawl).
+
+    Anchors carry EMPTY display text, so tag-stripping extraction
+    yields byte-identical text (the north-rule invariant; pinned by
+    tests/test_linkgraph.py). Targets are a pure function of the page
+    index: 1 + i%4 internal links to other corpus docs plus, on every
+    third page, one external asset-host link — so the link graph is
+    reproducible everywhere without shipping an edge file."""
+    n = len(pages)
+    out = pages.copy()
+    htmls = []
+    for i, h in enumerate(out["html"]):
+        anchors = []
+        for j in range(1 + i % 4):
+            t = (i * 31 + j * 17 + 1) % n
+            anchors.append(
+                f'<a href="https://example.org/doc/{t:08d}"></a>'
+            )
+        if i % 3 == 0:
+            anchors.append(
+                f'<a href="https://cdn{(i // 3) % 7}.example-assets.net'
+                f'/l/{i % 11}"></a>'
+            )
+        htmls.append(
+            h.replace(b"</body>", "".join(anchors).encode() + b"</body>")
+        )
+    out["html"] = htmls
+    return out
+
+
 def generate_entity_dictionary(seed: int = SEED) -> pd.DataFrame:
     """alias -> (canonical_id, canonical_name, entity_type).
 

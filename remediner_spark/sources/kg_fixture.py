@@ -37,7 +37,7 @@ import os
 from . import corpus
 
 # bump to invalidate materialized fixtures when gold logic changes
-FIXTURE_VERSION = 1
+FIXTURE_VERSION = 2
 
 N_PAGES = 400
 
@@ -58,6 +58,7 @@ _FILES = (
     "entity_dictionary.parquet",
     "gold_triples.parquet",
     "drug_ae.rel",
+    "linked_pages.parquet",
 )
 
 
@@ -100,4 +101,10 @@ def ensure_kg_fixture(n_pages: int = N_PAGES) -> str:
     )
     gold.to_parquet(os.path.join(out, "gold_triples.parquet"), index=False)
     _write_rel_file(ann, os.path.join(out, "drug_ae.rel"))
+    # web-graph dimension: same pages with deterministic <a href>
+    # outlinks injected (empty anchor text — extraction byte-identity
+    # holds; operators/linkgraph.py consumes this)
+    corpus.add_outlinks(pages).to_parquet(
+        os.path.join(out, "linked_pages.parquet"), index=False
+    )
     return out
