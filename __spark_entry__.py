@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         docpipe,
         ivf,
+        linkgraph,
         multimodal,
         olap,
         pii,
@@ -117,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(tableops.QUERIES)
     out.update(warc.QUERIES)
     out.update(robots.QUERIES)
+    out.update(linkgraph.QUERIES)
     out.update(kg_gate.QUERIES)
     # every callable ships the package to executors first (cwd-proof)
     return {name: _wrap(fn) for name, fn in out.items()}
@@ -129,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         docpipe,
         ivf,
+        linkgraph,
         multimodal,
         olap,
         pii,
@@ -165,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(tableops.ORACLES)
     out.update(warc.ORACLES)
     out.update(robots.ORACLES)
+    out.update(linkgraph.oracles())
     # end-to-end KG pipeline over the materialized corpus fixture: the
     # oracle reads the pandas-gold triples parquet and re-derives
     # linking/nodes/edges relationally in DuckDB (plans/kg_gate.py)
