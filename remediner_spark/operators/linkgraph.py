@@ -126,9 +126,241 @@ r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
 SELECT node AS url, r AS rank_fp FROM r{PR_ITERS}"""
 
 
+def _internal_undirected(pages: DataFrame) -> DataFrame:
+    """Distinct undirected internal edge set e(a, b) with a < b (self
+    links dropped) — the simple-graph view triangle counting and
+    clustering coefficients are defined over."""
+    links = extract_outlinks(pages).where(
+        F.col("dst_url").startswith(_INTERNAL_PREFIX)
+        & (F.col("src_url") != F.col("dst_url"))
+    )
+    return links.select(
+        F.least("src_url", "dst_url").alias("a"),
+        F.greatest("src_url", "dst_url").alias("b"),
+    ).distinct()
+
+
+def q_web_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the internal link graph: edge count,
+    triangle count, open-triad count, global clustering coefficient
+    (3T / triads, 6dp).
+
+    Scale shape: the ordered-corner two-join plan (a<b<c) — each
+    triangle counted exactly once, candidate volume Σ C(deg, 2)
+    (the open-triad count itself), the standard distributed triangle
+    algorithm. Both joins shuffle on node keys; degree skew is the
+    open-triad bound, not a correctness hazard. DuckDB mirrors the
+    identical joins, so counts match exactly."""
+    return triangle_census(_internal_undirected(_fixture_pages(spark)))
+
+
+def triangle_census(e: DataFrame) -> DataFrame:
+    """Census over an undirected simple edge set e(a, b), a < b."""
+    e = e.cache()
+    n_edges = e.select(F.count(F.lit(1)).alias("n_edges"))
+    tri = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            (F.col("e2.a") == F.col("e1.a")) & (F.col("e2.b") > F.col("e1.b")),
+        )
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    triads = deg.select(
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_open_triads")
+    )
+    return (
+        n_edges.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(triads))
+        .select(
+            "n_edges",
+            "n_triangles",
+            "n_open_triads",
+            F.round(
+                F.lit(3) * F.col("n_triangles")
+                / F.col("n_open_triads").cast("double"),
+                6,
+            ).alias("global_clustering"),
+        )
+    )
+
+
+def sql_web_triangles() -> str:
+    from ..sources.kg_fixture import ensure_kg_fixture
+
+    d = ensure_kg_fixture()
+    return f"""
+WITH hrefs AS (
+  SELECT p.url AS src,
+         unnest(regexp_extract_all(decode(p.html), '{HREF_PATTERN}', 1))
+           AS dst
+  FROM read_parquet('{d}/linked_pages.parquet') p),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM hrefs
+  WHERE dst LIKE '{_INTERNAL_PREFIX}%' AND src <> dst),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node),
+triads AS (
+  SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_open_triads
+  FROM deg)
+SELECT (SELECT count(*) FROM e) AS n_edges,
+       tri.n_triangles,
+       triads.n_open_triads,
+       round(3 * tri.n_triangles / CAST(triads.n_open_triads AS DOUBLE), 6)
+         AS global_clustering
+FROM tri CROSS JOIN triads"""
+
+
+# HITS fixed point: integer arithmetic (no float normalization — each
+# half-step rescales by the MAX via integer division), so both engines
+# compute bit-identical scores
+HITS_ITERS = 3
+HITS_SCALE = 1_000_000
+
+
+def q_web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the internal DIRECTED link graph
+    (Kleinberg): authority(v) = sum of hub scores linking to v,
+    hub(u) = sum of authority scores u links to, iterated HITS_ITERS
+    times with max-rescaling to HITS_SCALE after every half-step.
+
+    Per round: two edge-grain join+groupBy passes and a 1-row max agg
+    broadcast back — O(E) per round, lineage truncated like
+    pagerank_fixed_point."""
+    edges = (
+        extract_outlinks(_fixture_pages(spark))
+        .where(F.col("dst_url").startswith(_INTERNAL_PREFIX)
+               & (F.col("src_url") != F.col("dst_url")))
+        .select(F.col("src_url").alias("src"), F.col("dst_url").alias("dst"))
+        .distinct()
+    )
+    return hits_fixed_point(edges).withColumnRenamed("node", "url")
+
+
+def hits_fixed_point(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """edges(src, dst), distinct, self-loop-free -> (node, hub_fp,
+    auth_fp) integer fixed-point HITS scores."""
+    edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hubs = nodes.withColumn("h", F.lit(HITS_SCALE).cast("long"))
+
+    def rescale(df: DataFrame, col: str) -> DataFrame:
+        mx = df.agg(F.max(col).alias("_mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.expr(f"{col} * {HITS_SCALE} div _mx").alias(col),
+        )
+
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            edges.join(hubs, edges["src"] == hubs["node"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+            .select(F.col("dst").alias("node"), "a")
+        )
+        auth = rescale(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce("a", F.lit(0)).alias("a")
+            ),
+            "a",
+        ).localCheckpoint()
+        h_raw = (
+            edges.join(auth, edges["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+            .select(F.col("src").alias("node"), "h")
+        )
+        hubs = rescale(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce("h", F.lit(0)).alias("h")
+            ),
+            "h",
+        ).localCheckpoint()
+    return (
+        nodes.join(hubs, "node")
+        .join(auth, "node")
+        .select("node", F.col("h").alias("hub_fp"),
+                F.col("a").alias("auth_fp"))
+    )
+
+
+def sql_web_hits() -> str:
+    from ..sources.kg_fixture import ensure_kg_fixture
+
+    d = ensure_kg_fixture()
+    steps = []
+    for i in range(HITS_ITERS):
+        steps.append(f"""
+ar{i + 1} AS (
+  SELECT n.node, coalesce(s.a, 0) AS a
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(h{i}.h) AS a
+    FROM edges e JOIN h{i} ON h{i}.node = e.src GROUP BY e.dst) s
+  ON s.node = n.node),
+a{i + 1} AS (
+  SELECT node,
+         CAST(a * {HITS_SCALE} // (SELECT max(a) FROM ar{i + 1}) AS BIGINT)
+           AS a
+  FROM ar{i + 1}),
+hr{i + 1} AS (
+  SELECT n.node, coalesce(s.h, 0) AS h
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, sum(a{i + 1}.a) AS h
+    FROM edges e JOIN a{i + 1} ON a{i + 1}.node = e.dst GROUP BY e.src) s
+  ON s.node = n.node),
+h{i + 1} AS (
+  SELECT node,
+         CAST(h * {HITS_SCALE} // (SELECT max(h) FROM hr{i + 1}) AS BIGINT)
+           AS h
+  FROM hr{i + 1})""")
+    return f"""
+WITH hrefs AS (
+  SELECT p.url AS src,
+         unnest(regexp_extract_all(decode(p.html), '{HREF_PATTERN}', 1))
+           AS dst
+  FROM read_parquet('{d}/linked_pages.parquet') p),
+edges AS (
+  SELECT DISTINCT src, dst FROM hrefs
+  WHERE dst LIKE '{_INTERNAL_PREFIX}%' AND src <> dst),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+h0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS h FROM nodes),
+{",".join(steps)}
+SELECT n.node AS url, h{HITS_ITERS}.h AS hub_fp, a{HITS_ITERS}.a AS auth_fp
+FROM nodes n
+JOIN h{HITS_ITERS} ON h{HITS_ITERS}.node = n.node
+JOIN a{HITS_ITERS} ON a{HITS_ITERS}.node = n.node"""
+
+
 QUERIES = {
     "web_link_graph": q_web_link_graph,
     "web_link_pagerank": q_web_link_pagerank,
+    "web_triangles": q_web_triangles,
+    "web_hits": q_web_hits,
 }
 
 
@@ -136,4 +368,6 @@ def oracles() -> dict[str, str]:
     return {
         "web_link_graph": sql_web_link_graph(),
         "web_link_pagerank": sql_web_link_pagerank(),
+        "web_triangles": sql_web_triangles(),
+        "web_hits": sql_web_hits(),
     }

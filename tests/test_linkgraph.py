@@ -83,3 +83,53 @@ class TestLinkGraph:
         assert all(v > 0 for v in r1.values())
         # the most-linked-to pages outrank the median page
         assert max(r1.values()) > int(np.median(list(r1.values())))
+
+
+class TestTriangleCensus:
+    def test_k4_census(self, spark):
+        """K4: 6 edges, 4 triangles, every node deg 3 -> 12 open
+        triads, clustering 3*4/12 = 1.0."""
+        from remediner_spark.operators.linkgraph import triangle_census
+
+        nodes = ["a", "b", "c", "d"]
+        edges = [(u, v) for i, u in enumerate(nodes)
+                 for v in nodes[i + 1:]]
+        e = spark.createDataFrame(edges, "a string, b string")
+        row = triangle_census(e).collect()[0]
+        assert (row["n_edges"], row["n_triangles"],
+                row["n_open_triads"], row["global_clustering"]) == (6, 4, 12, 1.0)
+
+    def test_path_graph_no_triangles(self, spark):
+        from remediner_spark.operators.linkgraph import triangle_census
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")], "a string, b string"
+        )
+        row = triangle_census(e).collect()[0]
+        assert row["n_triangles"] == 0
+        assert row["n_open_triads"] == 2  # b and c each join one triad
+        assert row["global_clustering"] == 0.0
+
+
+class TestHits:
+    def test_star_hub_authority(self, spark):
+        """u links to v1..v3; w links to v1. u is the top hub; all of
+        u's targets share the top authority score; pure-source nodes
+        have authority 0."""
+        from remediner_spark.operators.linkgraph import hits_fixed_point
+
+        e = spark.createDataFrame(
+            [("u", "v1"), ("u", "v2"), ("u", "v3"), ("w", "v1")],
+            "src string, dst string",
+        )
+        r = {x["node"]: (x["hub_fp"], x["auth_fp"])
+             for x in hits_fixed_point(e).collect()}
+        assert r["u"][0] == 1_000_000          # max hub (rescaled)
+        assert r["u"][1] == 0 and r["w"][1] == 0
+        assert r["v1"][0] == 0                  # sink: no hub score
+        assert r["v1"][1] == 1_000_000          # most-linked authority
+        assert r["v2"][1] == r["v3"][1] < r["v1"][1]
+        # deterministic repeat
+        r2 = {x["node"]: (x["hub_fp"], x["auth_fp"])
+              for x in hits_fixed_point(e).collect()}
+        assert r == r2
