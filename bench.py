@@ -110,6 +110,38 @@ def _ensure_corpus(spark, sf_name: str, tile: int | None = None) -> tuple[str, i
     return corpus_dir, n_pages
 
 
+def _ensure_linked_corpus(spark, sf_name: str) -> str:
+    """Series-scale corpus WITH injected outlinks (corpus.add_outlinks)
+    for the web-graph construction leg — the gate's linked fixture is
+    400-page correctness grain; this measures href extraction + edge
+    agg at corpus scale. Internal link targets reference the untiled
+    url space; extraction/agg throughput is target-agnostic."""
+    base_n = _BASE_PAGES.get(sf_name, 100_000)
+    tile = int(os.environ.get("SPARK_GRAFT_TILE", _TILE.get(sf_name, 10)))
+    n_pages = base_n * tile
+    from remediner_spark.sources.corpus import CORPUS_VERSION
+
+    base_dir = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    out = f"{base_dir}/remediner_bench_links_v{CORPUS_VERSION}_{n_pages}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        from pyspark.sql import functions as F
+
+        from remediner_spark.sources.corpus import add_outlinks, generate_pages
+
+        pages_pdf, _ = generate_pages(base_n)
+        base = spark.createDataFrame(add_outlinks(pages_pdf))
+        tiled = base
+        if tile > 1:
+            tiled = base.crossJoin(
+                spark.range(tile).select(F.col("id").alias("_tile"))
+            ).select(
+                F.concat_ws("#", "url", "_tile").alias("url"),
+                "warc_ts", "html", "text", "lang",
+            )
+        tiled.repartition(_N_FILES).write.mode("overwrite").parquet(out)
+    return out
+
+
 def _wait_for_idle(threshold: float = 2.0, max_wait_s: int = 600) -> None:
     """Best-effort guard against noisy-neighbor host load: a burst
     during the timed runs skews walls 1.5-2x (observed). Bounded so a
@@ -433,6 +465,31 @@ def main() -> int:
         bpe_best.run(run_bpe)
         release_caches(spark)
         record("bpe_train", bpe_best)
+
+        # web-graph construction at corpus scale: JVM-regex href
+        # extraction (decode + regexp_extract_all in codegen, no
+        # Python hop) + weighted (src, dst) edge aggregation over the
+        # linked series corpus
+        from remediner_spark.operators.linkgraph import link_graph
+
+        linked_dir = _ensure_linked_corpus(spark, sf_name)
+
+        def run_links() -> None:
+            link_graph(spark.read.parquet(linked_dir)).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        run_links()  # warmup
+        release_caches(spark)
+        lg_best = _BestLeg()
+        legs = 2
+        while legs:
+            lg_best.run(run_links)
+            release_caches(spark)
+            legs -= 1
+            if not legs and guard.corrupted("web_link_extract"):
+                legs = 1
+        record("web_link_extract", lg_best)
 
         queries = entrymod.queries()
         for name in BENCH_QUERIES:

@@ -56,6 +56,7 @@ def main() -> int:
         "join_asof",             # union-sort-carry as-of join
         "search_bm25",           # broadcast query join + WindowGroupLimit
         "topk_heavy_hitters",    # broadcast candidate semi-join recount
+        "web_link_graph",        # JVM-regex href extraction, no Python hop
     ]
     checks = {
         "r13_word_explode": ["PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"],
@@ -128,6 +129,11 @@ def main() -> int:
         # and the final top-k is TakeOrdered, not a global sort
         "topk_heavy_hitters": ["BroadcastHashJoin",
                                "TakeOrderedAndProject"],
+        # link extraction must stay JVM-side (decode +
+        # regexp_extract_all in codegen): no Arrow/Python eval node
+        # anywhere, edge agg with map-side partials
+        "web_link_graph": ["HashAggregate", "!MapInPandas",
+                           "!BatchEvalPython", "!ArrowEvalPython"],
     }
     failures = []
     for name in audit_set:
