@@ -97,7 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         traindata,
     )
     from remediner_spark.plans import kg_gate
-    from remediner_spark.sources import robots, warc
+    from remediner_spark.sources import cdx, robots, warc
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(tableops.QUERIES)
     out.update(warc.QUERIES)
     out.update(robots.QUERIES)
+    out.update(cdx.QUERIES)
     out.update(linkgraph.QUERIES)
     out.update(kg_gate.QUERIES)
     # every callable ships the package to executors first (cwd-proof)
@@ -145,7 +146,7 @@ def oracle_sql() -> dict[str, str]:
         traindata,
     )
     from remediner_spark.plans import kg_gate
-    from remediner_spark.sources import robots, warc
+    from remediner_spark.sources import cdx, robots, warc
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
@@ -168,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(tableops.ORACLES)
     out.update(warc.ORACLES)
     out.update(robots.ORACLES)
+    out.update(cdx.oracles())
     out.update(linkgraph.oracles())
     # end-to-end KG pipeline over the materialized corpus fixture: the
     # oracle reads the pandas-gold triples parquet and re-derives

@@ -37,7 +37,7 @@ import os
 from . import corpus
 
 # bump to invalidate materialized fixtures when gold logic changes
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 
 N_PAGES = 400
 
@@ -59,7 +59,46 @@ _FILES = (
     "gold_triples.parquet",
     "drug_ae.rel",
     "linked_pages.parquet",
+    "crawl.cdx",
 )
+
+
+def _surt(url: str) -> str:
+    """SURT urlkey (host labels reversed, comma-joined, ')' + path) —
+    the reference rendering the cdx module's recomputation is checked
+    against."""
+    rest = url.split("://", 1)[1]
+    host, slash, path = rest.partition("/")
+    return ",".join(reversed(host.split("."))) + ")" + slash + path
+
+
+def write_cdx_file(pages, path: str) -> None:
+    """Render a CDX-J index for the corpus pages: `urlkey ts {json}`
+    per line, offsets accumulating in url order; every 17th record is
+    a 404 and every 23rd a non-html mime so downstream selection
+    provably drops rows."""
+    import json as _json
+
+    lines = []
+    offset = 0
+    for i, rec in enumerate(pages.itertuples(index=False)):
+        length = len(rec.html)
+        payload = {
+            "url": rec.url,
+            "mime": "application/pdf" if i % 23 == 0 else "text/html",
+            "status": "404" if i % 17 == 0 else "200",
+            "length": str(length),
+            "offset": str(offset),
+            "filename": f"crawl-r7-{i // 100:05d}.warc.gz",
+        }
+        ts = rec.warc_ts.strftime("%Y%m%d%H%M%S")
+        lines.append(
+            f"{_surt(rec.url)} {ts} "
+            + _json.dumps(payload, separators=(", ", ": "))
+        )
+        offset += length
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 def _write_rel_file(ann, path: str) -> None:
@@ -107,4 +146,6 @@ def ensure_kg_fixture(n_pages: int = N_PAGES) -> str:
     corpus.add_outlinks(pages).to_parquet(
         os.path.join(out, "linked_pages.parquet"), index=False
     )
+    # CDX-J record index (sources/cdx.py consumes this)
+    write_cdx_file(pages, os.path.join(out, "crawl.cdx"))
     return out
