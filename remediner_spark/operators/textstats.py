@@ -603,6 +603,47 @@ SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bigrams,
 FROM agg"""
 
 
+def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
+    corpus into head/middle/tail thirds by LM score (higher avg
+    bigram probability = more in-domain), the partition CCNet uses to
+    keep/discard/flag crawl text before pretraining.
+
+    Gate form: exact thirds via one global ntile window over
+    (avg_p DESC, doc_id) — deterministic under 6dp ties. At 100 TB the
+    production form keeps the same plan shape but derives the two
+    cutoff scores from a sample (approx quantiles, broadcast) so
+    bucketing stays map-side; the exact global window exists here
+    because the oracle must match bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    scores = q_text_lm_score(spark, sf_dir)
+    w = Window.orderBy(F.col("avg_p").desc(), "doc_id")
+    return scores.select(
+        "doc_id",
+        "avg_p",
+        F.ntile(3).over(w).alias("tile"),
+    ).select(
+        "doc_id",
+        "avg_p",
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+SQL_TEXT_PPL_BUCKETS = f"""
+WITH b AS (
+  SELECT doc_id, avg_p,
+         ntile(3) OVER (ORDER BY avg_p DESC, doc_id) AS tile
+  FROM ({SQL_TEXT_LM_SCORE}) s)
+SELECT doc_id, avg_p,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket
+FROM b"""
+
+
 QUERIES = {
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
@@ -613,6 +654,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "url_canonicalize": q_url_canonicalize,
     "text_lm_score": q_text_lm_score,
+    "text_ppl_buckets": q_text_ppl_buckets,
 }
 
 ORACLES = {
@@ -625,4 +667,5 @@ ORACLES = {
     "text_repetition": sql_text_repetition(),
     "url_canonicalize": sql_url_canonicalize(),
     "text_lm_score": SQL_TEXT_LM_SCORE,
+    "text_ppl_buckets": SQL_TEXT_PPL_BUCKETS,
 }
