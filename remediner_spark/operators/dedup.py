@@ -404,29 +404,32 @@ SELECT DISTINCT doc_a, doc_b FROM (
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # materialize word hashes once; each bit aggregates over the array
+    # word hashes materialized once, then ONE fold over the array
+    # carrying all 32 bit-counters as the accumulator (zip_with per
+    # element). Replaces the r1-r6 form of 32 independent F.aggregate
+    # folds — one array pass instead of 32: 1.97 -> 0.90 s at sf0.1,
+    # bitwise-identical output, and still map-only (the explode +
+    # codegen-sum alternative measured 1.24 s but adds a doc_id
+    # shuffle the fold form never pays — the wrong trade at 100 TB).
     hashed = docs.select(
         "doc_id",
         F.transform(
             F.split(F.col("text"), " "), lambda w: md5_hash32_expr(w)
         ).alias("wh"),
     )
-
-    def bit_term(b: int):
-        return F.aggregate(
-            F.col("wh"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    simhash = None
-    for b in range(32):
-        term = F.when(bit_term(b) >= 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        simhash = term if simhash is None else simhash + term
-    return hashed.select("doc_id", simhash.alias("simhash")).select(
+    counts = F.expr(
+        "aggregate(wh, array_repeat(CAST(0 AS BIGINT), 32), "
+        "(acc, h) -> zip_with(acc, sequence(0, 31), "
+        "(a, b) -> a + IF(((shiftright(h, b)) & 1) = 1, 1, -1)))"
+    )
+    simhash = F.expr(
+        "aggregate(zip_with(cnt, sequence(0, 31), "
+        "(c, b) -> IF(c >= 0, shiftleft(CAST(1 AS BIGINT), b), "
+        "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return hashed.select("doc_id", counts.alias("cnt")).select(
+        "doc_id", simhash.alias("simhash")
+    ).select(
         "doc_id",
         "simhash",
         (F.col("simhash") % (1 << 16)).alias("band_lo"),

@@ -356,11 +356,85 @@ JOIN h{HITS_ITERS} ON h{HITS_ITERS}.node = n.node
 JOIN a{HITS_ITERS} ON a{HITS_ITERS}.node = n.node"""
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier prioritization: outlink targets NOT in the
+    crawled set, scored by the PageRank mass of the pages linking to
+    them (the OPIC/backlink-priority family every frontier scheduler
+    uses) — the step between link extraction and the next fetch round.
+
+    Scale shape: frontier membership is a LEFT ANTI join of edge
+    targets against the crawled url set (key-grain shuffle); priority
+    is one groupBy(dst) sum of the (already-computed, integer)
+    referrer ranks. Nothing corpus-sized beyond the two keyed
+    shuffles."""
+    pages = _fixture_pages(spark)
+    links = extract_outlinks(pages)  # multiplicity preserved
+    internal = links.where(
+        F.col("dst_url").startswith(_INTERNAL_PREFIX)
+    ).select(F.col("src_url").alias("src"), F.col("dst_url").alias("dst"))
+    ranks = pagerank_fixed_point(internal)  # node = crawled page url
+    crawled = pages.select("url")
+    return (
+        links.join(crawled, links["dst_url"] == crawled["url"], "left_anti")
+        .join(ranks, links["src_url"] == ranks["node"])
+        .groupBy("dst_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_referrers"),
+            F.sum("rank_fp").alias("priority_fp"),
+        )
+        .select(F.col("dst_url").alias("url"), "n_referrers", "priority_fp")
+    )
+
+
+def sql_crawl_frontier() -> str:
+    from ..sources.kg_fixture import ensure_kg_fixture
+
+    d = ensure_kg_fixture()
+    steps = []
+    for i in range(PR_ITERS):
+        steps.append(f"""
+s{i + 1} AS (
+  SELECT e.dst, sum(r{i}.r // od.deg) AS s
+  FROM edges e
+  JOIN r{i} ON r{i}.node = e.src
+  JOIN od ON od.src = e.src
+  GROUP BY e.dst),
+r{i + 1} AS (
+  SELECT n.node,
+         CAST({PR_BASE} + (85 * coalesce(s{i + 1}.s, 0)) // 100 AS BIGINT)
+           AS r
+  FROM nodes n LEFT JOIN s{i + 1} ON s{i + 1}.dst = n.node)""")
+    return f"""
+WITH hrefs AS (
+  SELECT p.url AS src,
+         unnest(regexp_extract_all(decode(p.html), '{HREF_PATTERN}', 1))
+           AS dst
+  FROM read_parquet('{d}/linked_pages.parquet') p),
+edges AS (
+  SELECT src, dst FROM hrefs
+  WHERE dst LIKE '{_INTERNAL_PREFIX}%'),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+od AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
+{",".join(steps)},
+frontier AS (
+  SELECT h.src, h.dst FROM hrefs h
+  WHERE NOT EXISTS (
+    SELECT 1 FROM read_parquet('{d}/linked_pages.parquet') p
+    WHERE p.url = h.dst))
+SELECT f.dst AS url, count(*) AS n_referrers,
+       CAST(sum(r{PR_ITERS}.r) AS BIGINT) AS priority_fp
+FROM frontier f
+JOIN r{PR_ITERS} ON r{PR_ITERS}.node = f.src
+GROUP BY f.dst"""
+
+
 QUERIES = {
     "web_link_graph": q_web_link_graph,
     "web_link_pagerank": q_web_link_pagerank,
     "web_triangles": q_web_triangles,
     "web_hits": q_web_hits,
+    "crawl_frontier": q_crawl_frontier,
 }
 
 
@@ -370,4 +444,5 @@ def oracles() -> dict[str, str]:
         "web_link_pagerank": sql_web_link_pagerank(),
         "web_triangles": sql_web_triangles(),
         "web_hits": sql_web_hits(),
+        "crawl_frontier": sql_crawl_frontier(),
     }
