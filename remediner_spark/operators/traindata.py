@@ -655,6 +655,121 @@ SELECT doc_id, chunk_idx, chunk_idx * {CHUNK_S} AS token_offset,
 FROM c"""
 
 
+# Count-Min Sketch: d hash rows x w buckets. Width 16 ON PURPOSE at
+# gate scale: the synthetic documents vocabulary is only ~31 words, so
+# a production-sized width would never collide and the overcount
+# column would be vacuous; w=16 gives 13/20 probes a real overcount
+# (est >= true always; equality iff some row is collision-free)
+CMS_D, CMS_W = 4, 16
+CMS_PROBES = 20
+
+
+def q_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimation (Cormode & Muthukrishnan):
+    one pass builds a d x w counter table; any word's count estimate is
+    the MIN over its d bucket counters — never an undercount.
+
+    The sketch is DETERMINISTIC here (md5-prefix row hashes), so both
+    engines compute identical tables and identical estimates — a
+    sketch whose output is exactly reproducible, not just bounded.
+
+    Scale shape: the word explode feeds a groupBy with only d*w
+    distinct keys, so map-side partial aggregation collapses every
+    partition to <= d*w rows — the partial agg IS the sketch merge;
+    the exchange carries sketch-sized, not corpus-sized, data. Probe
+    words join the (tiny, broadcast) cell table. True counts exist in
+    the gate output only to certify the estimates; production keeps
+    the sketch alone."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    cells = (
+        words.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            (
+                                md5_hash32_expr(
+                                    F.concat(F.lit(f"cms{r}|"), F.col("w"))
+                                )
+                                % CMS_W
+                            ).alias("b"),
+                        )
+                        for r in range(CMS_D)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.r", "c.b")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    true_counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("true_n"))
+    probes = true_counts.orderBy(
+        F.col("true_n").desc(), F.col("w")
+    ).limit(CMS_PROBES)
+    probe_cells = probes.select(
+        "w",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            md5_hash32_expr(
+                                F.concat(F.lit(f"cms{r}|"), F.col("w"))
+                            )
+                            % CMS_W
+                        ).alias("b"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("w", "true_n", "c.r", "c.b")
+    return (
+        probe_cells.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("w", "true_n")
+        .agg(F.min("cell_n").alias("cms_est"))
+        .select(
+            F.col("w").alias("word"),
+            F.col("true_n").alias("true_count"),
+            "cms_est",
+            (F.col("cms_est") - F.col("true_n")).alias("overcount"),
+        )
+    )
+
+
+def sql_freq_cms() -> str:
+    def bucket(r: int, col: str) -> str:
+        keyed = f"('cms{r}|' || {col})"
+        return f"({md5_hash32_sql(keyed)}) % {CMS_W}"
+
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {r} AS r, {bucket(r, 'w')} AS b FROM words"
+        for r in range(CMS_D)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT w, true_n, {r} AS r, {bucket(r, 'w')} AS b FROM probes"
+        for r in range(CMS_D)
+    )
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+cells AS (
+  SELECT r, b, count(*) AS cell_n FROM ({cell_rows}) GROUP BY r, b),
+tc AS (SELECT w, count(*) AS true_n FROM words GROUP BY w),
+probes AS (
+  SELECT w, true_n FROM tc ORDER BY true_n DESC, w LIMIT {CMS_PROBES}),
+pc AS ({probe_rows})
+SELECT pc.w AS word, pc.true_n AS true_count,
+       CAST(min(cells.cell_n) AS BIGINT) AS cms_est,
+       CAST(min(cells.cell_n) - pc.true_n AS BIGINT) AS overcount
+FROM pc JOIN cells ON cells.r = pc.r AND cells.b = pc.b
+GROUP BY pc.w, pc.true_n"""
+
+
 QUERIES = {
     "sample_bernoulli": q_sample_bernoulli,
     "sample_stratified": q_sample_stratified,
@@ -667,6 +782,7 @@ QUERIES = {
     "source_mixture": q_source_mixture,
     "sample_weighted": q_sample_weighted,
     "sample_temperature": q_sample_temperature,
+    "freq_cms": q_freq_cms,
 }
 
 ORACLES = {
@@ -681,4 +797,5 @@ ORACLES = {
     "source_mixture": SQL_SOURCE_MIXTURE,
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
     "sample_temperature": SQL_SAMPLE_TEMPERATURE,
+    "freq_cms": sql_freq_cms(),
 }

@@ -333,3 +333,52 @@ def test_dedup_incremental_verdicts(spark, tmp_path):
     assert rows[3] == ("keep", None)
     assert rows[4] == ("exact", 10)
     assert set(rows) == {1, 2, 3, 4}
+
+
+class TestFreqCMS:
+    def test_overcount_never_negative_and_collisions_exercised(self, spark):
+        """CMS guarantee: est >= true for every probe (min over rows of
+        bucket counts can only overcount); with w=256 at sf0.001 the
+        corpus vocabulary collides, so at least one probe overcounts —
+        the sketch is exercised, not vacuous."""
+        from remediner_spark.operators.traindata import q_freq_cms
+
+        rows = q_freq_cms(spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 20
+        assert all(r["overcount"] >= 0 for r in rows)
+        assert all(r["cms_est"] == r["true_count"] + r["overcount"]
+                   for r in rows)
+        assert any(r["overcount"] > 0 for r in rows)
+
+    def test_estimate_matches_driver_recomputation(self, spark):
+        """The Spark estimate equals a from-scratch driver CMS built
+        with the same hash family (independent derivation)."""
+        import hashlib
+        from collections import Counter
+
+        import duckdb
+
+        from remediner_spark.operators.traindata import (
+            CMS_D, CMS_W, q_freq_cms,
+        )
+
+        con = duckdb.connect()
+        texts = [t[0] for t in con.execute(
+            "SELECT text FROM '/root/testdata/sf0.001/documents.parquet'"
+        ).fetchall()]
+        words = [w for t in texts for w in t.split(" ")]
+
+        def bucket(r, w):
+            h = int(hashlib.md5(f"cms{r}|{w}".encode()).hexdigest()[:8], 16)
+            return h % CMS_W
+
+        cells = Counter()
+        for w in words:
+            for r in range(CMS_D):
+                cells[(r, bucket(r, w))] += 1
+
+        def est(w):
+            return min(cells[(r, bucket(r, w))] for r in range(CMS_D))
+
+        for row in q_freq_cms(spark, "/root/testdata/sf0.001").collect():
+            assert row["cms_est"] == est(row["word"]), row["word"]
