@@ -429,12 +429,94 @@ JOIN r{PR_ITERS} ON r{PR_ITERS}.node = f.src
 GROUP BY f.dst"""
 
 
+LPA_ITERS = 3
+
+
+def lpa_communities(edges_und: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.):
+    every node starts labeled with itself; each round it adopts the
+    most frequent label among its neighbors, ties broken by the
+    lexicographically smallest label — fully deterministic, so both
+    engines converge identically.
+
+    ``edges_und`` must carry BOTH directions of each undirected edge.
+    Per round: one join (edge x label) + two keyed aggs (label counts,
+    then min-struct argmax per node) — O(E) per round, lineage
+    truncated like the other fixed-point kernels."""
+    edges_und = edges_und.localCheckpoint()
+    nodes = edges_und.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(iters):
+        counts = (
+            edges_und.join(labels, edges_und["src"] == labels["node"])
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("pick")
+            )
+            .select(F.col("dst").alias("node"), F.col("pick.label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels
+
+
+def q_web_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _internal_undirected(_fixture_pages(spark))
+    und = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return lpa_communities(und).select(
+        F.col("node").alias("url"), F.col("label").alias("community")
+    )
+
+
+def sql_web_lpa() -> str:
+    from ..sources.kg_fixture import ensure_kg_fixture
+
+    d = ensure_kg_fixture()
+    steps = []
+    for i in range(LPA_ITERS):
+        steps.append(f"""
+c{i + 1} AS (
+  SELECT e.dst, l{i}.label, count(*) AS c
+  FROM und e JOIN l{i} ON l{i}.node = e.src
+  GROUP BY e.dst, l{i}.label),
+l{i + 1} AS (
+  SELECT dst AS node, label FROM (
+    SELECT dst, label,
+           row_number() OVER (PARTITION BY dst ORDER BY c DESC, label)
+             AS rn
+    FROM c{i + 1})
+  WHERE rn = 1)""")
+    return f"""
+WITH hrefs AS (
+  SELECT p.url AS src,
+         unnest(regexp_extract_all(decode(p.html), '{HREF_PATTERN}', 1))
+           AS dst
+  FROM read_parquet('{d}/linked_pages.parquet') p),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM hrefs
+  WHERE dst LIKE '{_INTERNAL_PREFIX}%' AND src <> dst),
+und AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+l0 AS (SELECT node, node AS label FROM nodes),
+{",".join(steps)}
+SELECT node AS url, label AS community FROM l{LPA_ITERS}"""
+
+
 QUERIES = {
     "web_link_graph": q_web_link_graph,
     "web_link_pagerank": q_web_link_pagerank,
     "web_triangles": q_web_triangles,
     "web_hits": q_web_hits,
     "crawl_frontier": q_crawl_frontier,
+    "web_lpa_communities": q_web_lpa,
 }
 
 
@@ -445,4 +527,5 @@ def oracles() -> dict[str, str]:
         "web_triangles": sql_web_triangles(),
         "web_hits": sql_web_hits(),
         "crawl_frontier": sql_crawl_frontier(),
+        "web_lpa_communities": sql_web_lpa(),
     }

@@ -133,3 +133,41 @@ class TestHits:
         r2 = {x["node"]: (x["hub_fp"], x["auth_fp"])
               for x in hits_fixed_point(e).collect()}
         assert r == r2
+
+
+class TestLPA:
+    def test_matches_reference_implementation(self, spark):
+        """Sync LPA on a barbell graph (two triangles + bridge) equals
+        an independent driver implementation of the same rule: adopt
+        the most frequent neighbor label, ties to the smallest."""
+        from collections import Counter
+
+        from remediner_spark.operators.linkgraph import (
+            LPA_ITERS, lpa_communities,
+        )
+
+        und_pairs = [("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+                     ("b1", "b2"), ("b1", "b3"), ("b2", "b3"),
+                     ("a3", "b1")]
+        edges = und_pairs + [(b, a) for a, b in und_pairs]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["label"]
+               for r in lpa_communities(df).collect()}
+
+        nbrs: dict[str, list[str]] = {}
+        for s, d in edges:
+            nbrs.setdefault(d, []).append(s)
+        labels = {n: n for n in nbrs}
+        for _ in range(LPA_ITERS):
+            labels = {
+                n: min(
+                    Counter(labels[m] for m in ms).items(),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )[0]
+                for n, ms in nbrs.items()
+            }
+        assert got == labels
+        # deterministic repeat
+        got2 = {r["node"]: r["label"]
+                for r in lpa_communities(df).collect()}
+        assert got == got2
