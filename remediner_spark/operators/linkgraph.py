@@ -510,6 +510,87 @@ l0 AS (SELECT node, node AS label FROM nodes),
 SELECT node AS url, label AS community FROM l{LPA_ITERS}"""
 
 
+# link prediction: top candidate pairs by common-neighbor count, with
+# an INTEGER resource-allocation index (sum of SCALE div deg(w) over
+# common neighbors w — the float-free cousin of Adamic-Adar, exact and
+# order-free cross-engine)
+LP_SCALE = 1_000_000
+LP_TOPK = 20
+
+
+def q_web_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the internal graph: for node pairs NOT yet
+    connected, count common neighbors and sum the resource-allocation
+    index; emit the top-{LP_TOPK}.
+
+    Scale shape: the wedge join (e1.w == e2.w, u < v) is the same
+    ordered-corner plan as the triangle census — candidate volume is
+    the open-triad count, bounded by degree; the already-an-edge
+    exclusion is a LEFT ANTI join on the pair key; final top-k is
+    TakeOrdered, never a global sort."""
+    e = _internal_undirected(_fixture_pages(spark)).cache()
+    und = e.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    deg = und.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (
+        und.alias("x")
+        .join(
+            und.alias("y"),
+            (F.col("x.w") == F.col("y.w")) & (F.col("x.u") < F.col("y.u")),
+        )
+        .select(
+            F.col("x.u").alias("u"), F.col("y.u").alias("v"), F.col("x.w").alias("w")
+        )
+    )
+    open_wedges = wedges.join(
+        e,
+        (wedges["u"] == e["a"]) & (wedges["v"] == e["b"]),
+        "left_anti",
+    )
+    return (
+        open_wedges.join(deg, "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.expr(f"{LP_SCALE} div deg")).alias("ra_fp"),
+        )
+        .orderBy(F.col("n_common").desc(), F.col("ra_fp").desc(), "u", "v")
+        .limit(LP_TOPK)
+    )
+
+
+def sql_web_link_predict() -> str:
+    from ..sources.kg_fixture import ensure_kg_fixture
+
+    d = ensure_kg_fixture()
+    return f"""
+WITH hrefs AS (
+  SELECT p.url AS src,
+         unnest(regexp_extract_all(decode(p.html), '{HREF_PATTERN}', 1))
+           AS dst
+  FROM read_parquet('{d}/linked_pages.parquet') p),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM hrefs
+  WHERE dst LIKE '{_INTERNAL_PREFIX}%' AND src <> dst),
+und AS (SELECT a AS u, b AS w FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT w, count(*) AS deg FROM und GROUP BY w),
+wedges AS (
+  SELECT x.u AS u, y.u AS v, x.w AS w
+  FROM und x JOIN und y ON x.w = y.w AND x.u < y.u),
+ow AS (
+  SELECT wg.u, wg.v, wg.w FROM wedges wg
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e WHERE e.a = wg.u AND e.b = wg.v))
+SELECT u, v, count(*) AS n_common,
+       CAST(sum({LP_SCALE} // deg.deg) AS BIGINT) AS ra_fp
+FROM ow JOIN deg ON deg.w = ow.w
+GROUP BY u, v
+ORDER BY n_common DESC, ra_fp DESC, u, v
+LIMIT {LP_TOPK}"""
+
+
 QUERIES = {
     "web_link_graph": q_web_link_graph,
     "web_link_pagerank": q_web_link_pagerank,
@@ -517,6 +598,7 @@ QUERIES = {
     "web_hits": q_web_hits,
     "crawl_frontier": q_crawl_frontier,
     "web_lpa_communities": q_web_lpa,
+    "web_link_predict": q_web_link_predict,
 }
 
 
@@ -528,4 +610,5 @@ def oracles() -> dict[str, str]:
         "web_hits": sql_web_hits(),
         "crawl_frontier": sql_crawl_frontier(),
         "web_lpa_communities": sql_web_lpa(),
+        "web_link_predict": sql_web_link_predict(),
     }

@@ -171,3 +171,38 @@ class TestLPA:
         got2 = {r["node"]: r["label"]
                 for r in lpa_communities(df).collect()}
         assert got == got2
+
+
+class TestLinkPredict:
+    def test_square_cycle(self, spark):
+        """4-cycle a-b-c-d: the two diagonals (a,c) and (b,d) are the
+        only non-edges with common neighbors — 2 each, ra = 2 *
+        (SCALE div 2) since every node has degree 2."""
+        from remediner_spark.operators import linkgraph as LG
+        from pyspark.sql import functions as F
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")],
+            "a string, b string",
+        )
+        # drive the internal census path directly on a custom edge set
+        und = e.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("w")))
+        deg = und.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+        wedges = (
+            und.alias("x")
+            .join(und.alias("y"),
+                  (F.col("x.w") == F.col("y.w")) & (F.col("x.u") < F.col("y.u")))
+            .select(F.col("x.u").alias("u"), F.col("y.u").alias("v"),
+                    F.col("x.w").alias("w")))
+        ow = wedges.join(e, (wedges["u"] == e["a"]) & (wedges["v"] == e["b"]),
+                         "left_anti")
+        got = {(r["u"], r["v"]): (r["n_common"], r["ra_fp"])
+               for r in ow.join(deg, "w").groupBy("u", "v").agg(
+                   F.count(F.lit(1)).alias("n_common"),
+                   F.sum(F.expr(f"{LG.LP_SCALE} div deg")).alias("ra_fp"),
+               ).collect()}
+        assert got == {
+            ("a", "c"): (2, 2 * (LG.LP_SCALE // 2)),
+            ("b", "d"): (2, 2 * (LG.LP_SCALE // 2)),
+        }
