@@ -76,7 +76,16 @@ _TILE = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 10}
 _N_FILES = 256
 
 
-def _ensure_corpus(spark, sf_name: str, tile: int | None = None) -> tuple[str, int]:
+def _ensure_corpus(
+    spark, sf_name: str, tile: int | None = None,
+    transform=None, kind: str = "corpus",
+) -> tuple[str, int]:
+    """Materialize a tiled bench corpus in tmpfs (cached by generator
+    version + size). ``transform`` post-processes the base pandas
+    pages before tiling (e.g. corpus.add_outlinks for the link-graph
+    leg); the SPARK_GRAFT_CORPUS_DIR override applies only to the
+    default kind so a redirected base corpus never collides with a
+    derived one."""
     base_n = _BASE_PAGES.get(sf_name, 100_000)
     if tile is None:
         tile = int(os.environ.get("SPARK_GRAFT_TILE", _TILE.get(sf_name, 10)))
@@ -87,9 +96,11 @@ def _ensure_corpus(spark, sf_name: str, tile: int | None = None) -> tuple[str, i
     # cache key includes the generator version so stale corpora from
     # older code are never reused
     base_dir = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    corpus_dir = os.environ.get(
-        "SPARK_GRAFT_CORPUS_DIR",
-        f"{base_dir}/remediner_bench_corpus_v{CORPUS_VERSION}_{n_pages}",
+    default = f"{base_dir}/remediner_bench_{kind}_v{CORPUS_VERSION}_{n_pages}"
+    corpus_dir = (
+        os.environ.get("SPARK_GRAFT_CORPUS_DIR", default)
+        if kind == "corpus"
+        else default
     )
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
         from pyspark.sql import functions as F
@@ -97,6 +108,8 @@ def _ensure_corpus(spark, sf_name: str, tile: int | None = None) -> tuple[str, i
         from remediner_spark.sources.corpus import generate_pages
 
         pages_pdf, _ = generate_pages(base_n)
+        if transform is not None:
+            pages_pdf = transform(pages_pdf)
         base = spark.createDataFrame(pages_pdf)
         tiled = base
         if tile > 1:
@@ -116,29 +129,11 @@ def _ensure_linked_corpus(spark, sf_name: str) -> str:
     400-page correctness grain; this measures href extraction + edge
     agg at corpus scale. Internal link targets reference the untiled
     url space; extraction/agg throughput is target-agnostic."""
-    base_n = _BASE_PAGES.get(sf_name, 100_000)
-    tile = int(os.environ.get("SPARK_GRAFT_TILE", _TILE.get(sf_name, 10)))
-    n_pages = base_n * tile
-    from remediner_spark.sources.corpus import CORPUS_VERSION
+    from remediner_spark.sources.corpus import add_outlinks
 
-    base_dir = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    out = f"{base_dir}/remediner_bench_links_v{CORPUS_VERSION}_{n_pages}"
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        from pyspark.sql import functions as F
-
-        from remediner_spark.sources.corpus import add_outlinks, generate_pages
-
-        pages_pdf, _ = generate_pages(base_n)
-        base = spark.createDataFrame(add_outlinks(pages_pdf))
-        tiled = base
-        if tile > 1:
-            tiled = base.crossJoin(
-                spark.range(tile).select(F.col("id").alias("_tile"))
-            ).select(
-                F.concat_ws("#", "url", "_tile").alias("url"),
-                "warc_ts", "html", "text", "lang",
-            )
-        tiled.repartition(_N_FILES).write.mode("overwrite").parquet(out)
+    out, _n = _ensure_corpus(
+        spark, sf_name, transform=add_outlinks, kind="links"
+    )
     return out
 
 

@@ -83,19 +83,45 @@ SELECT src_url, dst_url, count(*) AS n_links FROM (
 GROUP BY src_url, dst_url"""
 
 
-def q_web_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the INTERNAL document graph (crawl-local edges;
-    external asset hosts are sinks the crawl doesn't rank)."""
-    edges = extract_outlinks(_fixture_pages(spark)).where(
-        F.col("dst_url").startswith(_INTERNAL_PREFIX)
-    ).select(F.col("src_url").alias("src"), F.col("dst_url").alias("dst"))
-    return pagerank_fixed_point(edges).withColumnRenamed("node", "url")
+
+# ---------------------------------------------------- shared oracle CTEs
+# Every linkgraph oracle starts from the same href extraction and edge
+# views; they are built ONCE here so a change to the pattern, the
+# internal prefix, or the PageRank rounds cannot silently diverge
+# between oracles.
 
 
-def sql_web_link_pagerank() -> str:
+def _sql_hrefs() -> str:
     from ..sources.kg_fixture import ensure_kg_fixture
 
     d = ensure_kg_fixture()
+    return f"""hrefs AS (
+  SELECT p.url AS src,
+         unnest(regexp_extract_all(decode(p.html), '{HREF_PATTERN}', 1))
+           AS dst
+  FROM read_parquet('{d}/linked_pages.parquet') p)"""
+
+
+# directed internal edges, multiplicity preserved (PageRank/frontier)
+_SQL_EDGES = f"""edges AS (
+  SELECT src, dst FROM hrefs
+  WHERE dst LIKE '{_INTERNAL_PREFIX}%')"""
+
+# directed internal edges, distinct, self-loop-free (HITS)
+_SQL_EDGES_DISTINCT = f"""edges AS (
+  SELECT DISTINCT src, dst FROM hrefs
+  WHERE dst LIKE '{_INTERNAL_PREFIX}%' AND src <> dst)"""
+
+# undirected simple edge set (census / LPA / link prediction)
+_SQL_E = f"""e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM hrefs
+  WHERE dst LIKE '{_INTERNAL_PREFIX}%' AND src <> dst)"""
+
+
+def _sql_pr_ctes() -> str:
+    """nodes/od/r0 + the unrolled fixed-point rounds over `edges`;
+    the final relation is r{PR_ITERS}."""
     steps = []
     for i in range(PR_ITERS):
         steps.append(f"""
@@ -110,19 +136,26 @@ r{i + 1} AS (
          CAST({PR_BASE} + (85 * coalesce(s{i + 1}.s, 0)) // 100 AS BIGINT)
            AS r
   FROM nodes n LEFT JOIN s{i + 1} ON s{i + 1}.dst = n.node)""")
-    return f"""
-WITH hrefs AS (
-  SELECT p.url AS src,
-         unnest(regexp_extract_all(decode(p.html), '{HREF_PATTERN}', 1))
-           AS dst
-  FROM read_parquet('{d}/linked_pages.parquet') p),
-edges AS (
-  SELECT src, dst FROM hrefs
-  WHERE dst LIKE '{_INTERNAL_PREFIX}%'),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
+    return f"""nodes AS (SELECT DISTINCT src AS node FROM edges),
 od AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
 r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
-{",".join(steps)}
+{",".join(steps)}"""
+
+
+def q_web_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the INTERNAL document graph (crawl-local edges;
+    external asset hosts are sinks the crawl doesn't rank)."""
+    edges = extract_outlinks(_fixture_pages(spark)).where(
+        F.col("dst_url").startswith(_INTERNAL_PREFIX)
+    ).select(F.col("src_url").alias("src"), F.col("dst_url").alias("dst"))
+    return pagerank_fixed_point(edges).withColumnRenamed("node", "url")
+
+
+def sql_web_link_pagerank() -> str:
+    return f"""
+WITH {_sql_hrefs()},
+{_SQL_EDGES},
+{_sql_pr_ctes()}
 SELECT node AS url, r AS rank_fp FROM r{PR_ITERS}"""
 
 
@@ -142,14 +175,14 @@ def _internal_undirected(pages: DataFrame) -> DataFrame:
 
 def q_web_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle census of the internal link graph: edge count,
-    triangle count, open-triad count, global clustering coefficient
-    (3T / triads, 6dp).
+    triangle count, wedge count (connected triples, closed ones
+    included), global transitivity (3T / wedges, 6dp).
 
     Scale shape: the ordered-corner two-join plan (a<b<c) — each
     triangle counted exactly once, candidate volume Σ C(deg, 2)
-    (the open-triad count itself), the standard distributed triangle
+    (the wedge count itself), the standard distributed triangle
     algorithm. Both joins shuffle on node keys; degree skew is the
-    open-triad bound, not a correctness hazard. DuckDB mirrors the
+    wedge bound, not a correctness hazard. DuckDB mirrors the
     identical joins, so counts match exactly."""
     return triangle_census(_internal_undirected(_fixture_pages(spark)))
 
@@ -176,19 +209,19 @@ def triangle_census(e: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    triads = deg.select(
-        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_open_triads")
+    wedges = deg.select(
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges")
     )
     return (
         n_edges.crossJoin(F.broadcast(tri))
-        .crossJoin(F.broadcast(triads))
+        .crossJoin(F.broadcast(wedges))
         .select(
             "n_edges",
             "n_triangles",
-            "n_open_triads",
+            "n_wedges",
             F.round(
                 F.lit(3) * F.col("n_triangles")
-                / F.col("n_open_triads").cast("double"),
+                / F.col("n_wedges").cast("double"),
                 6,
             ).alias("global_clustering"),
         )
@@ -196,19 +229,9 @@ def triangle_census(e: DataFrame) -> DataFrame:
 
 
 def sql_web_triangles() -> str:
-    from ..sources.kg_fixture import ensure_kg_fixture
-
-    d = ensure_kg_fixture()
     return f"""
-WITH hrefs AS (
-  SELECT p.url AS src,
-         unnest(regexp_extract_all(decode(p.html), '{HREF_PATTERN}', 1))
-           AS dst
-  FROM read_parquet('{d}/linked_pages.parquet') p),
-e AS (
-  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-  FROM hrefs
-  WHERE dst LIKE '{_INTERNAL_PREFIX}%' AND src <> dst),
+WITH {_sql_hrefs()},
+{_SQL_E},
 tri AS (
   SELECT count(*) AS n_triangles
   FROM e e1
@@ -218,15 +241,15 @@ deg AS (
   SELECT node, count(*) AS deg FROM (
     SELECT a AS node FROM e UNION ALL SELECT b FROM e)
   GROUP BY node),
-triads AS (
-  SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_open_triads
+wedges AS (
+  SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
   FROM deg)
 SELECT (SELECT count(*) FROM e) AS n_edges,
        tri.n_triangles,
-       triads.n_open_triads,
-       round(3 * tri.n_triangles / CAST(triads.n_open_triads AS DOUBLE), 6)
+       wedges.n_wedges,
+       round(3 * tri.n_triangles / CAST(wedges.n_wedges AS DOUBLE), 6)
          AS global_clustering
-FROM tri CROSS JOIN triads"""
+FROM tri CROSS JOIN wedges"""
 
 
 # HITS fixed point: integer arithmetic (no float normalization — each
@@ -308,9 +331,6 @@ def hits_fixed_point(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
 
 
 def sql_web_hits() -> str:
-    from ..sources.kg_fixture import ensure_kg_fixture
-
-    d = ensure_kg_fixture()
     steps = []
     for i in range(HITS_ITERS):
         steps.append(f"""
@@ -337,14 +357,8 @@ h{i + 1} AS (
            AS h
   FROM hr{i + 1})""")
     return f"""
-WITH hrefs AS (
-  SELECT p.url AS src,
-         unnest(regexp_extract_all(decode(p.html), '{HREF_PATTERN}', 1))
-           AS dst
-  FROM read_parquet('{d}/linked_pages.parquet') p),
-edges AS (
-  SELECT DISTINCT src, dst FROM hrefs
-  WHERE dst LIKE '{_INTERNAL_PREFIX}%' AND src <> dst),
+WITH {_sql_hrefs()},
+{_SQL_EDGES_DISTINCT},
 nodes AS (
   SELECT DISTINCT node FROM (
     SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
@@ -390,33 +404,10 @@ def sql_crawl_frontier() -> str:
     from ..sources.kg_fixture import ensure_kg_fixture
 
     d = ensure_kg_fixture()
-    steps = []
-    for i in range(PR_ITERS):
-        steps.append(f"""
-s{i + 1} AS (
-  SELECT e.dst, sum(r{i}.r // od.deg) AS s
-  FROM edges e
-  JOIN r{i} ON r{i}.node = e.src
-  JOIN od ON od.src = e.src
-  GROUP BY e.dst),
-r{i + 1} AS (
-  SELECT n.node,
-         CAST({PR_BASE} + (85 * coalesce(s{i + 1}.s, 0)) // 100 AS BIGINT)
-           AS r
-  FROM nodes n LEFT JOIN s{i + 1} ON s{i + 1}.dst = n.node)""")
     return f"""
-WITH hrefs AS (
-  SELECT p.url AS src,
-         unnest(regexp_extract_all(decode(p.html), '{HREF_PATTERN}', 1))
-           AS dst
-  FROM read_parquet('{d}/linked_pages.parquet') p),
-edges AS (
-  SELECT src, dst FROM hrefs
-  WHERE dst LIKE '{_INTERNAL_PREFIX}%'),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-od AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
-{",".join(steps)},
+WITH {_sql_hrefs()},
+{_SQL_EDGES},
+{_sql_pr_ctes()},
 frontier AS (
   SELECT h.src, h.dst FROM hrefs h
   WHERE NOT EXISTS (
@@ -476,9 +467,6 @@ def q_web_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_web_lpa() -> str:
-    from ..sources.kg_fixture import ensure_kg_fixture
-
-    d = ensure_kg_fixture()
     steps = []
     for i in range(LPA_ITERS):
         steps.append(f"""
@@ -494,15 +482,8 @@ l{i + 1} AS (
     FROM c{i + 1})
   WHERE rn = 1)""")
     return f"""
-WITH hrefs AS (
-  SELECT p.url AS src,
-         unnest(regexp_extract_all(decode(p.html), '{HREF_PATTERN}', 1))
-           AS dst
-  FROM read_parquet('{d}/linked_pages.parquet') p),
-e AS (
-  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-  FROM hrefs
-  WHERE dst LIKE '{_INTERNAL_PREFIX}%' AND src <> dst),
+WITH {_sql_hrefs()},
+{_SQL_E},
 und AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
 nodes AS (SELECT DISTINCT src AS node FROM und),
 l0 AS (SELECT node, node AS label FROM nodes),
@@ -525,7 +506,7 @@ def q_web_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the wedge join (e1.w == e2.w, u < v) is the same
     ordered-corner plan as the triangle census — candidate volume is
-    the open-triad count, bounded by degree; the already-an-edge
+    the wedge count, bounded by degree; the already-an-edge
     exclusion is a LEFT ANTI join on the pair key; final top-k is
     TakeOrdered, never a global sort."""
     e = _internal_undirected(_fixture_pages(spark)).cache()
@@ -561,19 +542,9 @@ def q_web_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_web_link_predict() -> str:
-    from ..sources.kg_fixture import ensure_kg_fixture
-
-    d = ensure_kg_fixture()
     return f"""
-WITH hrefs AS (
-  SELECT p.url AS src,
-         unnest(regexp_extract_all(decode(p.html), '{HREF_PATTERN}', 1))
-           AS dst
-  FROM read_parquet('{d}/linked_pages.parquet') p),
-e AS (
-  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-  FROM hrefs
-  WHERE dst LIKE '{_INTERNAL_PREFIX}%' AND src <> dst),
+WITH {_sql_hrefs()},
+{_SQL_E},
 und AS (SELECT a AS u, b AS w FROM e UNION ALL SELECT b, a FROM e),
 deg AS (SELECT w, count(*) AS deg FROM und GROUP BY w),
 wedges AS (

@@ -99,8 +99,10 @@ def _batch_partials(h, labels, w_cls, b_cls, class_weights):
     yy = np.asarray(labels).reshape(B * T)
     mask = yy != IGNORE_INDEX
     if not mask.any():
-        z = np.zeros
-        return z((N_LABELS, d)), z(N_LABELS), 0.0, 0.0
+        # shape from the head, NOT the module constant — a caller
+        # training a non-default-size head would otherwise get
+        # mismatched zero partials from fully-masked batches
+        return np.zeros(w_cls.shape), np.zeros(w_cls.shape[0]), 0.0, 0.0
     hh, yy = hh[mask], yy[mask]
     logits = hh @ w_cls.T + b_cls
     logp = log_softmax(logits)
@@ -202,8 +204,11 @@ def fit_ner_head(
         gw, gb, loss_num, wsum = _grad_step(features, head_bc)
         head_bc.destroy()
         if wsum == 0.0:
-            losses.append(0.0)
-            break
+            # no trainable tokens anywhere: the loss is 0 at every
+            # epoch and no update can change it — keep the documented
+            # losses shape [epochs + 1] without further cluster passes
+            losses.extend([0.0] * (epochs + 1 - len(losses)))
+            return {"w_cls": w_cls, "b_cls": b_cls, "losses": losses}
         losses.append(loss_num / wsum)
         w_cls = w_cls - lr * gw / wsum
         b_cls = b_cls - lr * gb / wsum

@@ -50,19 +50,35 @@ def surt_key(url_col):
     )
 
 
+_PAYLOAD_SCHEMA = (
+    "url string, mime string, status string, length string, "
+    "offset string, filename string"
+)
+
+
 def parse_cdx(lines: DataFrame, value_col: str = "value") -> DataFrame:
-    """Text lines -> typed CDX records (no filtering)."""
+    """Text lines -> typed CDX records (no filtering).
+
+    The JSON payload is parsed ONCE per row (from_json into a struct),
+    not once per projected field — six get_json_object calls would
+    re-parse the same string six times on the hot ingest path."""
     v = F.col(value_col)
-    j = F.regexp_extract(v, _LINE_RE, 3)
-    return lines.select(
+    framed = lines.select(
         F.regexp_extract(v, _LINE_RE, 1).alias("urlkey"),
         F.regexp_extract(v, _LINE_RE, 2).alias("ts"),
-        F.get_json_object(j, "$.url").alias("url"),
-        F.get_json_object(j, "$.mime").alias("mime"),
-        F.get_json_object(j, "$.status").alias("status"),
-        F.get_json_object(j, "$.length").cast("long").alias("length"),
-        F.get_json_object(j, "$.offset").cast("long").alias("offset"),
-        F.get_json_object(j, "$.filename").alias("filename"),
+        F.from_json(F.regexp_extract(v, _LINE_RE, 3), _PAYLOAD_SCHEMA).alias(
+            "p"
+        ),
+    )
+    return framed.select(
+        "urlkey",
+        "ts",
+        F.col("p.url").alias("url"),
+        F.col("p.mime").alias("mime"),
+        F.col("p.status").alias("status"),
+        F.col("p.length").cast("long").alias("length"),
+        F.col("p.offset").cast("long").alias("offset"),
+        F.col("p.filename").alias("filename"),
     )
 
 

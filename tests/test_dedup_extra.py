@@ -338,7 +338,7 @@ def test_dedup_incremental_verdicts(spark, tmp_path):
 class TestFreqCMS:
     def test_overcount_never_negative_and_collisions_exercised(self, spark):
         """CMS guarantee: est >= true for every probe (min over rows of
-        bucket counts can only overcount); with w=256 at sf0.001 the
+        bucket counts can only overcount); with CMS_W=16 at sf0.001 the
         corpus vocabulary collides, so at least one probe overcounts —
         the sketch is exercised, not vacuous."""
         from remediner_spark.operators.traindata import q_freq_cms

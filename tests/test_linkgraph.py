@@ -97,7 +97,7 @@ class TestTriangleCensus:
         e = spark.createDataFrame(edges, "a string, b string")
         row = triangle_census(e).collect()[0]
         assert (row["n_edges"], row["n_triangles"],
-                row["n_open_triads"], row["global_clustering"]) == (6, 4, 12, 1.0)
+                row["n_wedges"], row["global_clustering"]) == (6, 4, 12, 1.0)
 
     def test_path_graph_no_triangles(self, spark):
         from remediner_spark.operators.linkgraph import triangle_census
@@ -107,7 +107,7 @@ class TestTriangleCensus:
         )
         row = triangle_census(e).collect()[0]
         assert row["n_triangles"] == 0
-        assert row["n_open_triads"] == 2  # b and c each join one triad
+        assert row["n_wedges"] == 2  # b and c each center one wedge
         assert row["global_clustering"] == 0.0
 
 

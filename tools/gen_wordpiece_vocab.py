@@ -134,7 +134,16 @@ def ingest(path: str, out: str = OUT) -> int:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--ingest":
+    # explicit arg handling: a typo'd flag or a missing --ingest path
+    # must NOT silently fall through to the regenerate branch and
+    # overwrite an installed real vocab with the synthetic one
+    if len(sys.argv) == 1:
+        os.makedirs(os.path.dirname(OUT), exist_ok=True)
+        vocab = build_vocab()
+        with open(OUT, "w", encoding="utf-8") as f:
+            f.write("\n".join(vocab) + "\n")
+        print(f"wrote {len(vocab)} tokens to {OUT}")
+    elif sys.argv[1] == "--ingest" and len(sys.argv) == 3:
         n = ingest(sys.argv[2])
         print(f"installed {n}-token user vocab from {sys.argv[2]} to {OUT}")
         print(
@@ -143,8 +152,7 @@ if __name__ == "__main__":
             "checkpoint's embedding rows"
         )
     else:
-        os.makedirs(os.path.dirname(OUT), exist_ok=True)
-        vocab = build_vocab()
-        with open(OUT, "w", encoding="utf-8") as f:
-            f.write("\n".join(vocab) + "\n")
-        print(f"wrote {len(vocab)} tokens to {OUT}")
+        raise SystemExit(
+            "usage: gen_wordpiece_vocab.py              (regenerate)\n"
+            "       gen_wordpiece_vocab.py --ingest /path/to/vocab.txt"
+        )
