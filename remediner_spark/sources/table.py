@@ -361,9 +361,16 @@ def _stamp_field_mapping(
 def _partition_match(file_entry: dict, partition_filter: dict) -> bool:
     """True when the file's partition values satisfy the filter; a
     filter value may be a scalar (equality) or a list/tuple/set
-    (membership) — multi-partition reads prune in one pass."""
+    (membership) — multi-partition reads prune in one pass.
+
+    A file that lacks the filter key entirely (written under a
+    DIFFERENT partition spec, before/after evolve_partition_spec) is
+    KEPT — pruning only on evidence; read_table applies the same
+    predicate row-level so the result stays exact either way."""
     for k, v in partition_filter.items():
-        got = file_entry["partition"].get(k)
+        if k not in file_entry["partition"]:
+            continue  # other-spec file: cannot prune on this key
+        got = file_entry["partition"][k]
         if isinstance(v, (list, tuple, set, frozenset)):
             if got not in {str(x) for x in v}:
                 return False
@@ -644,7 +651,10 @@ def write_table(
         prev_partition = snapshots[-1]["partition_by"]
         if prev_partition != partition_by:
             raise ValueError(
-                f"partition spec mismatch: {prev_partition} != {partition_by}"
+                f"partition spec mismatch: {prev_partition} != "
+                f"{partition_by} (change the spec first with "
+                "evolve_partition_spec — existing files keep serving "
+                "reads under their own spec)"
             )
     if not snapshots:
         cur_schema, last_field_id = _assign_field_ids(df.schema.jsonValue())
@@ -880,26 +890,33 @@ def _scan_files(
     full_schema = StructType.fromJson(snap["schema"])
     if not files:
         return spark.createDataFrame([], full_schema)
-    partition_by = snap["partition_by"]
     deletes = (snap.get("delete_files") or []) if apply_deletes else []
+    # group key includes the FILE's OWN partition-key set: after
+    # partition-spec evolution (evolve_partition_spec) the manifest
+    # holds files written under different specs — each file's
+    # partitioned-out columns come from ITS manifest entry, and the
+    # columns it carries physically come from its data, regardless of
+    # the snapshot's current spec
     groups: dict[tuple, list[dict]] = {}
     for f in files:
         dkey = tuple(
             i for i, d in enumerate(deletes) if f["path"] in d["paths"]
         )
         sig = json.dumps(f.get("fields"), sort_keys=True)
-        groups.setdefault((dkey, sig), []).append(f)
+        pspec = tuple(sorted(f["partition"].keys()))
+        groups.setdefault((dkey, sig, pspec), []).append(f)
 
-    data_schema = StructType(
-        [f for f in full_schema.fields if f.name not in partition_by]
-    )
-    cur_fields = [
-        f for f in snap["schema"]["fields"] if f["name"] not in partition_by
-    ]
     types = {f["name"]: f["type"] for f in snap["schema"]["fields"]}
     parts: list[DataFrame] = []
-    for key, sig in sorted(groups):
-        group = groups[(key, sig)]
+    for key, sig, pspec in sorted(groups):
+        group = groups[(key, sig, pspec)]
+        fpart = [c for c in pspec if c in types]  # this group's spec
+        data_schema = StructType(
+            [f for f in full_schema.fields if f.name not in fpart]
+        )
+        cur_fields = [
+            f for f in snap["schema"]["fields"] if f["name"] not in fpart
+        ]
         mapping = group[0].get("fields")
         paths = [g["path"] for g in group]
         if mapping is None:
@@ -951,8 +968,8 @@ def _scan_files(
                 )
             df = spark.read.schema(StructType(phys)).parquet(*paths)
             df = df.select(*exprs) if exprs else df
-        df = _attach_partition_cols(spark, df, group, partition_by)
-        for pcol in partition_by:
+        df = _attach_partition_cols(spark, df, group, fpart)
+        for pcol in fpart:
             df = df.withColumn(pcol, F.col(pcol).cast(types[pcol]))
         df = df.select([f.name for f in full_schema.fields])
         for i in key:
@@ -1032,6 +1049,22 @@ def read_table(
     # partition columns re-attached from the manifest, merge-on-read
     # delete entries applied — all in the shared scan planner
     df = _scan_files(spark, snap, files)
+    if partition_filter:
+        # row-level backstop of the manifest pruning: files written
+        # under a different partition spec (evolve_partition_spec)
+        # survive pruning because their entries lack the key — the
+        # same predicate applied to the rows (string-compared, the
+        # directory-value convention _partition_match uses) keeps the
+        # result exact; on a single-spec table it filters nothing
+        from pyspark.sql import functions as F
+
+        for k, v in partition_filter.items():
+            vals = (
+                [str(x) for x in v]
+                if isinstance(v, (list, tuple, set, frozenset))
+                else [str(v)]
+            )
+            df = df.filter(F.col(k).cast("string").isin(vals))
     if stats_filter:
         from pyspark.sql import functions as F
 
@@ -1134,8 +1167,17 @@ def compact_table(
             df, path, mode="overwrite",
             sort_by=(snap.get("sort_by") or None),
         )
+    # files written under an earlier partition spec
+    # (evolve_partition_spec) are excluded: replace_partitions removes
+    # previous files by CURRENT-spec partition tuple, so rewriting an
+    # other-spec group could remove an untouched current-spec file that
+    # shares the landing partition without having read its rows.
+    # rewrite_to_spec is the migration path for those files.
+    cur_spec = set(partition_by)
     by_part: dict[tuple, list[dict]] = {}
     for f in snap_files:
+        if set(f["partition"].keys()) != cur_spec:
+            continue
         by_part.setdefault(tuple(sorted(f["partition"].items())), []).append(f)
     # a partition qualifies when crowded OR when any of its files is
     # targeted by a merge-on-read delete entry — compaction is the
@@ -1220,7 +1262,7 @@ def _evolution_base(path: str):
 
 def _commit_evolution(
     path, snapshots, snap, schema, last, refs, total_rows, sort_by,
-    delete_files, kind: str, detail: dict,
+    delete_files, kind: str, detail: dict, partition_by=None,
 ) -> dict:
     new_snap = {
         "snapshot_id": snap["snapshot_id"] + 1,
@@ -1229,7 +1271,9 @@ def _commit_evolution(
         "commit": "metadata",
         "schema": schema,
         "last_field_id": last,
-        "partition_by": snap["partition_by"],
+        "partition_by": (
+            snap["partition_by"] if partition_by is None else partition_by
+        ),
         "sort_by": sort_by,
         "manifest_list": _write_manifest_list(path, refs),
         "delete_files": delete_files,
@@ -1251,7 +1295,11 @@ def rename_column(path: str, old: str, new: str) -> dict:
         raise ValueError(f"no column {old!r}")
     if new in names:
         raise ValueError(f"column {new!r} already exists")
-    if old in snap["partition_by"]:
+    if old in snap["partition_by"] or any(
+        old in f["partition"] for f in files
+    ):
+        # current spec OR any live file's write-time spec: the name is
+        # baked into that file's directory layout / manifest values
         raise ValueError("cannot rename a partition column")
     schema = {
         **schema,
@@ -1284,7 +1332,9 @@ def drop_column(path: str, name: str) -> dict:
     names = [f["name"] for f in schema["fields"]]
     if name not in names:
         raise ValueError(f"no column {name!r}")
-    if name in snap["partition_by"]:
+    if name in snap["partition_by"] or any(
+        name in f["partition"] for f in files
+    ):
         raise ValueError("cannot drop a partition column")
     if name in (snap.get("sort_by") or []):
         raise ValueError(
@@ -1339,6 +1389,64 @@ def widen_column(path: str, name: str, new_type: str) -> dict:
         sum(f["rows"] for f in files),
         snap.get("sort_by") or [], list(snap.get("delete_files") or []),
         "widen", {"widened": {name: [cur_type, new_type]}},
+    )
+
+
+def evolve_partition_spec(path: str, new_partition_by: list[str]) -> dict:
+    """Metadata-only partition-spec change (Iceberg partition
+    evolution): subsequent writes lay data out under the NEW spec;
+    existing files are untouched and keep serving reads under the spec
+    they were written with — the scan planner groups files by their
+    own partition-key set, sources partitioned-out columns from each
+    file's manifest entry and the rest from its data, and partition
+    pruning keeps (never wrongly drops) other-spec files, with
+    read_table's row-level backstop preserving filter exactness.
+
+    Compaction skips other-spec partitions (replace_partitions cannot
+    express a cross-spec rewrite safely); ``rewrite_to_spec`` migrates
+    the whole table to the current spec in one snapshot when the
+    mixed-spec planning overhead stops being worth it."""
+    snapshots, snap, schema, last, files, refs = _evolution_base(path)
+    new_partition_by = list(new_partition_by or [])
+    names = [f["name"] for f in schema["fields"]]
+    missing = [c for c in new_partition_by if c not in names]
+    if missing:
+        raise ValueError(f"partition columns not in schema: {missing}")
+    if len(set(new_partition_by)) != len(new_partition_by):
+        raise ValueError("duplicate partition columns")
+    if new_partition_by == snap["partition_by"]:
+        return snap
+    return _commit_evolution(
+        path, snapshots, snap, schema, last, refs,
+        sum(f["rows"] for f in files),
+        snap.get("sort_by") or [], list(snap.get("delete_files") or []),
+        "partition-spec",
+        {"partition_spec": [snap["partition_by"], new_partition_by]},
+        partition_by=new_partition_by,
+    )
+
+
+def rewrite_to_spec(spark: SparkSession, path: str) -> dict:
+    """Migrate every file to the CURRENT partition spec: one full
+    rewrite snapshot (overwrite mode — earlier snapshots still
+    time-travel to the old layout) that also folds pending
+    merge-on-read deletes. No-op when the table is already
+    single-spec and delete-free."""
+    snapshots = _load_snapshots(path)
+    if not snapshots:
+        raise FileNotFoundError(f"no table at {path}")
+    snap = snapshots[-1]
+    spec = set(snap["partition_by"])
+    files = _snap_files(path, snap)
+    if not snap.get("delete_files") and all(
+        set(f["partition"].keys()) == spec for f in files
+    ):
+        return snap
+    df = _scan_files(spark, snap, files)
+    return write_table(
+        df, path, mode="overwrite",
+        partition_by=snap["partition_by"] or None,
+        sort_by=(snap.get("sort_by") or None),
     )
 
 

@@ -2037,3 +2037,209 @@ def test_compaction_folds_emptied_partition_no_loop(spark, tmp_path):
     again = compact_table(spark, path)
     assert again["snapshot_id"] == snap["snapshot_id"]
     assert _load_snapshots(path)[-1]["snapshot_id"] == snap["snapshot_id"]
+
+
+class TestPartitionEvolution:
+    """evolve_partition_spec: metadata-only spec change; mixed-spec
+    reads, pruning exactness, compaction safety, full migration."""
+
+    def _counts(self, spark, path, **kw):
+        from remediner_spark.sources.table import read_table
+
+        return read_table(spark, path, **kw)
+
+    def test_unpartitioned_to_partitioned(self, spark, tmp_path, pages_pdf):
+        from remediner_spark.sources.table import (
+            evolve_partition_spec, read_table, table_snapshots, write_table,
+        )
+
+        path = str(tmp_path / "tbl")
+        write_table(spark.createDataFrame(pages_pdf.iloc[:60]), path)
+        s = evolve_partition_spec(path, ["lang"])
+        assert s["mode"] == "evolve-partition-spec"
+        write_table(
+            spark.createDataFrame(pages_pdf.iloc[60:]), path,
+            mode="append", partition_by=["lang"],
+        )
+        # full read: both file generations, lang correct everywhere
+        got = read_table(spark, path).toPandas()
+        assert len(got) == 120
+        expect = pages_pdf.sort_values("url").reset_index(drop=True)
+        got = got.sort_values("url").reset_index(drop=True)
+        assert list(got["lang"]) == list(expect["lang"])
+        assert list(got["text"]) == list(expect["text"])
+        # partition filter stays EXACT: old-spec files can't be pruned
+        # but the row-level backstop filters them
+        en = read_table(spark, path, partition_filter={"lang": "en"})
+        assert en.count() == int((pages_pdf["lang"] == "en").sum())
+        assert set(r["lang"] for r in en.select("lang").distinct().collect()) == {"en"}
+        # time travel to the pre-evolution snapshot still works
+        assert read_table(spark, path, snapshot_id=1).count() == 60
+        assert [x["mode"] for x in table_snapshots(path)] == [
+            "append", "evolve-partition-spec", "append",
+        ]
+
+    def test_partitioned_to_unpartitioned(self, spark, tmp_path, pages_pdf):
+        from remediner_spark.sources.table import (
+            evolve_partition_spec, read_table, write_table,
+        )
+
+        path = str(tmp_path / "tbl")
+        write_table(
+            spark.createDataFrame(pages_pdf.iloc[:60]), path,
+            partition_by=["lang"],
+        )
+        evolve_partition_spec(path, [])
+        write_table(spark.createDataFrame(pages_pdf.iloc[60:]), path,
+                    mode="append")
+        got = read_table(spark, path).toPandas()
+        assert len(got) == 120
+        # lang for OLD files comes from their manifest partition values
+        expect = pages_pdf.sort_values("url").reset_index(drop=True)
+        got = got.sort_values("url").reset_index(drop=True)
+        assert list(got["lang"]) == list(expect["lang"])
+        # a partition filter on the no-longer-partitioned column still
+        # returns exactly the matching rows (old files prune, new ones
+        # row-filter)
+        de = read_table(spark, path, partition_filter={"lang": "de"})
+        assert de.count() == int((pages_pdf["lang"] == "de").sum())
+
+    def test_validation(self, spark, tmp_path, pages_pdf):
+        from remediner_spark.sources.table import (
+            evolve_partition_spec, write_table,
+        )
+
+        path = str(tmp_path / "tbl")
+        write_table(spark.createDataFrame(pages_pdf.iloc[:20]), path)
+        with pytest.raises(ValueError, match="not in schema"):
+            evolve_partition_spec(path, ["nope"])
+        with pytest.raises(ValueError, match="duplicate"):
+            evolve_partition_spec(path, ["lang", "lang"])
+        # appending under the OLD spec after evolution is refused with
+        # guidance
+        evolve_partition_spec(path, ["lang"])
+        with pytest.raises(ValueError, match="evolve_partition_spec"):
+            write_table(spark.createDataFrame(pages_pdf.iloc[20:40]),
+                        path, mode="append")
+
+    def test_compaction_skips_other_spec_files(self, spark, tmp_path,
+                                               pages_pdf):
+        from remediner_spark.sources.table import (
+            _snap_files, compact_table, evolve_partition_spec, read_table,
+            table_snapshots, write_table,
+        )
+
+        path = str(tmp_path / "tbl")
+        write_table(spark.createDataFrame(pages_pdf.iloc[:40]), path,
+                    partition_by=["lang"])
+        evolve_partition_spec(path, [])
+        # several small unpartitioned commits -> crowded current spec..
+        # but current spec is unpartitioned: compact reads EVERYTHING
+        # (full overwrite) which IS the safe migration — data equality
+        for lo in (40, 60, 80, 100):
+            write_table(
+                spark.createDataFrame(pages_pdf.iloc[lo:lo + 20]), path,
+                mode="append",
+            )
+        before = read_table(spark, path).toPandas().sort_values(
+            "url").reset_index(drop=True)
+        compact_table(spark, path, min_files_per_partition=2)
+        after = read_table(spark, path).toPandas().sort_values(
+            "url").reset_index(drop=True)
+        assert list(before["url"]) == list(after["url"])
+        assert list(before["lang"]) == list(after["lang"])
+
+    def test_compaction_partitioned_current_spec_guard(
+        self, spark, tmp_path, pages_pdf
+    ):
+        from remediner_spark.sources.table import (
+            _snap_files, compact_table, evolve_partition_spec, read_table,
+            table_snapshots, write_table,
+        )
+
+        path = str(tmp_path / "tbl")
+        # old spec: unpartitioned; new spec: lang
+        write_table(spark.createDataFrame(pages_pdf.iloc[:40]), path)
+        evolve_partition_spec(path, ["lang"])
+        for lo in (40, 55, 70, 85, 100):
+            write_table(
+                spark.createDataFrame(pages_pdf.iloc[lo:lo + 15]), path,
+                mode="append", partition_by=["lang"],
+            )
+        before = read_table(spark, path).toPandas().sort_values(
+            "url").reset_index(drop=True)
+        snap = compact_table(spark, path, min_files_per_partition=1)
+        after = read_table(spark, path).toPandas().sort_values(
+            "url").reset_index(drop=True)
+        # no data loss: the legacy unpartitioned files survived the
+        # partitioned compaction untouched
+        assert list(before["url"]) == list(after["url"])
+        legacy = [
+            f for f in _snap_files(path, snap)
+            if set(f["partition"].keys()) != {"lang"}
+        ]
+        assert legacy, "legacy-spec files should still be present"
+
+    def test_rewrite_to_spec_migrates(self, spark, tmp_path, pages_pdf):
+        from remediner_spark.sources.table import (
+            _snap_files, evolve_partition_spec, read_table,
+            rewrite_to_spec, table_snapshots, write_table,
+        )
+
+        path = str(tmp_path / "tbl")
+        write_table(spark.createDataFrame(pages_pdf.iloc[:60]), path)
+        evolve_partition_spec(path, ["lang"])
+        write_table(spark.createDataFrame(pages_pdf.iloc[60:]), path,
+                    mode="append", partition_by=["lang"])
+        before = read_table(spark, path).toPandas().sort_values(
+            "url").reset_index(drop=True)
+        snap = rewrite_to_spec(spark, path)
+        # every live file now carries the current spec
+        assert all(
+            set(f["partition"].keys()) == {"lang"}
+            for f in _snap_files(path, snap)
+        )
+        after = read_table(spark, path).toPandas().sort_values(
+            "url").reset_index(drop=True)
+        assert list(before["url"]) == list(after["url"])
+        assert list(before["lang"]) == list(after["lang"])
+        # idempotent: second call is a no-op returning the same snapshot
+        assert rewrite_to_spec(spark, path)["snapshot_id"] == snap[
+            "snapshot_id"]
+        # pre-migration snapshots still time travel
+        assert read_table(spark, path, snapshot_id=1).count() == 60
+
+    def test_mor_delete_survives_evolution(self, spark, tmp_path, pages_pdf):
+        from remediner_spark.sources.table import (
+            delete_range, evolve_partition_spec, read_table, write_table,
+        )
+
+        path = str(tmp_path / "tbl")
+        write_table(spark.createDataFrame(pages_pdf.iloc[:60]), path,
+                    partition_by=["lang"])
+        # MoR predicate delete targeting the old-spec files
+        urls = sorted(pages_pdf.iloc[:60]["url"])
+        delete_range(spark, path, "url", lo=urls[0], hi=urls[9],
+                     strategy="mor")
+        evolve_partition_spec(path, [])
+        write_table(spark.createDataFrame(pages_pdf.iloc[60:]), path,
+                    mode="append")
+        got = read_table(spark, path)
+        assert got.count() == 120 - 10
+        # the deleted urls stay deleted across the spec change
+        assert got.filter(got["url"] <= urls[9]).count() == 0
+
+    def test_ddl_guard_covers_legacy_spec_columns(self, spark, tmp_path,
+                                                  pages_pdf):
+        from remediner_spark.sources.table import (
+            evolve_partition_spec, rename_column, write_table,
+        )
+
+        path = str(tmp_path / "tbl")
+        write_table(spark.createDataFrame(pages_pdf.iloc[:30]), path,
+                    partition_by=["lang"])
+        evolve_partition_spec(path, [])
+        # lang is no longer in the CURRENT spec, but live files still
+        # source it from their directory-layout manifest values
+        with pytest.raises(ValueError, match="partition column"):
+            rename_column(path, "lang", "language")
