@@ -1,7 +1,7 @@
 """Oracle-gated reads over the Iceberg-style table format.
 
 The table format (sources/table.py) is exercised by unit tests, but
-these two entries put its row-level semantics under the SAME
+these entries put its row-level semantics under the SAME
 cross-engine hash gate as every other operator: a deterministic table
 is materialized ONCE per sf (side-file pattern, like the IVF
 centroids), mutated through the merge-on-read write paths, and the
@@ -13,6 +13,9 @@ exactly what DuckDB computes relationally from the source parquet.
   MoR range delete (metadata drop + predicate delete) -> read.
 * ``table_evolution_read``: int column -> widen to long -> rename ->
   append past-int-range row -> read through the field-id mapping.
+* ``table_pspec_read``: unpartitioned files -> evolve_partition_spec
+  -> lang-partitioned files -> partition-filtered read over BOTH
+  generations (manifest pruning + the row-level backstop).
 """
 
 from __future__ import annotations
@@ -52,15 +55,30 @@ def _build_once(out: str, build) -> str:
     tmp = f"{out}.tmp{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     build(tmp)
-    sf = os.path.join(tmp, "_metadata", "snapshots.json")
-    with open(sf) as fh:
-        content = fh.read()
-    with open(sf, "w") as fh:
-        fh.write(content.replace(tmp, out))
+    # retarget EVERY metadata json from the tmp prefix: absolute paths
+    # live in snapshots.json (manifest_list refs, delete entries) AND
+    # in the manifest-list / manifest files themselves (file entries)
+    meta = os.path.join(tmp, "_metadata")
+    for root, _dirs, names in os.walk(meta):
+        for name in names:
+            if not name.endswith(".json"):
+                continue
+            fpath = os.path.join(root, name)
+            with open(fpath) as fh:
+                content = fh.read()
+            if tmp in content:
+                with open(fpath, "w") as fh:
+                    fh.write(content.replace(tmp, out))
     try:
         os.rename(tmp, out)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
+    # the manifest cache (sources.table._load_json_cached) may hold the
+    # PRE-retarget tmp-prefixed entries under the renamed paths —
+    # drop it so the first read reloads the rewritten files
+    from ..sources import table as _table
+
+    _table._MANIFEST_CACHE.clear()
     return out
 
 
@@ -136,12 +154,63 @@ UNION ALL
 SELECT CAST(-1 AS BIGINT), CAST({WIDE_SENTINEL} AS BIGINT)"""
 
 
+PSPEC_SHIFT = 1_000_000  # second-generation doc_ids (post spec change)
+PSPEC_LANGS = ("en", "de")  # partition filter exercised by the gate
+
+
+def _ensure_pspec_table(spark: SparkSession, sf_dir: str) -> str:
+    from ..sources.table import evolve_partition_spec, write_table
+
+    def build(path: str) -> None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "source"
+        )
+        # generation 1: unpartitioned files (lang lives in the data)
+        write_table(docs.repartition(4), path)
+        # spec change: metadata-only commit
+        evolve_partition_spec(path, ["lang"])
+        # generation 2: lang-partitioned files (lang lives in the
+        # directory layout / manifest entries)
+        shifted = docs.withColumn(
+            "doc_id", F.col("doc_id") + PSPEC_SHIFT
+        )
+        write_table(shifted, path, mode="append", partition_by=["lang"])
+
+    return _build_once(_cache_dir("pspec", sf_dir), build)
+
+
+def q_table_pspec_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-evolution scan with a partition filter: generation-2
+    files prune on their manifest partition values; generation-1 files
+    cannot prune (no such key in their entries) and are row-filtered
+    by read_table's backstop — the result must equal the relational
+    recomputation exactly, lang sourced from data and manifest
+    respectively."""
+    from ..sources.table import read_table
+
+    path = _ensure_pspec_table(spark, sf_dir)
+    return read_table(
+        spark, path, partition_filter={"lang": list(PSPEC_LANGS)}
+    ).select("doc_id", "lang", "source")
+
+
+SQL_TABLE_PSPEC_READ = f"""
+WITH both_gens AS (
+  SELECT doc_id, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + {PSPEC_SHIFT}, lang, source FROM documents)
+SELECT doc_id, lang, source FROM both_gens
+WHERE lang IN ('{PSPEC_LANGS[0]}', '{PSPEC_LANGS[1]}')"""
+
+
 QUERIES = {
     "table_mor_read": q_table_mor_read,
     "table_evolution_read": q_table_evolution_read,
+    "table_pspec_read": q_table_pspec_read,
 }
 
 ORACLES = {
     "table_mor_read": SQL_TABLE_MOR_READ,
     "table_evolution_read": SQL_TABLE_EVOLUTION_READ,
+    "table_pspec_read": SQL_TABLE_PSPEC_READ,
 }
