@@ -1392,6 +1392,57 @@ def widen_column(path: str, name: str, new_type: str) -> dict:
     )
 
 
+def zorder_frame(
+    df: DataFrame, cols: list[str], n_files: int, bits: int = 16
+) -> DataFrame:
+    """Cluster rows along a Z-order (Morton) curve over ``cols`` —
+    Iceberg's multi-dimensional rewrite strategy. 1-D ``sort_by``
+    gives tight per-file ranges on ONE column; interleaving the bits
+    of k min-max-normalized columns gives every file a tight
+    k-dimensional bounding box, so footer min/max stats
+    (``read_table(stats_filter=...)``) prune files for predicates on
+    ANY of the clustered columns.
+
+    Shape: one 1-row min/max agg (driver scalar), then a pure-JVM
+    arithmetic key (shift/mask terms, codegen-friendly — no UDF) and
+    one range repartition on it; the key never enters the schema.
+    Columns must be numeric (normalization is (v - min) / span)."""
+    from pyspark.sql import functions as F
+
+    if not cols or n_files < 1:
+        raise ValueError("zorder_frame needs columns and n_files >= 1")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    k = len(cols)
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn = float(row[f"_mn_{c}"] or 0)
+        mx = float(row[f"_mx_{c}"] or 0)
+        span = (mx - mn) or 1.0
+        scaled = F.floor(
+            (F.col(c).cast("double") - F.lit(mn))
+            / F.lit(span)
+            * F.lit(float((1 << bits) - 1))
+        ).cast("long")
+        norm = F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.lit((1 << bits) - 1).cast("long"), scaled),
+        )
+        for b in range(bits):
+            # bit b of column i lands at interleaved position b*k + i
+            key = key + F.shiftleft(
+                F.shiftright(norm, b).bitwiseAND(F.lit(1)), b * k + i
+            ).cast("long")
+    return (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+    )
+
+
 def evolve_partition_spec(path: str, new_partition_by: list[str]) -> dict:
     """Metadata-only partition-spec change (Iceberg partition
     evolution): subsequent writes lay data out under the NEW spec;

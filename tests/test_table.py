@@ -2243,3 +2243,62 @@ class TestPartitionEvolution:
         # source it from their directory-layout manifest values
         with pytest.raises(ValueError, match="partition column"):
             rename_column(path, "lang", "language")
+
+
+class TestZOrder:
+    def test_two_dim_pruning_beats_one_dim(self, spark, tmp_path):
+        """Z-order by (a, b) gives every file a tight 2-D box: stats
+        pruning fires for range predicates on EITHER column, where the
+        1-D a-sorted layout prunes only on a."""
+        import numpy as np
+        import pandas as pd
+
+        from remediner_spark.sources.table import (
+            read_table, stats_pruned_count, write_table, zorder_frame,
+        )
+
+        rng = np.random.RandomState(7)
+        pdf = pd.DataFrame({
+            "a": np.arange(4000, dtype="int64"),
+            "b": rng.permutation(4000).astype("int64"),  # uncorrelated
+            "v": rng.randint(0, 100, 4000).astype("int64"),
+        })
+        df = spark.createDataFrame(pdf)
+
+        z_path = str(tmp_path / "ztbl")
+        write_table(zorder_frame(df, ["a", "b"], n_files=16), z_path)
+        s_path = str(tmp_path / "stbl")
+        write_table(df.repartition(16), s_path, sort_by=["a"])
+
+        filt = {"b": (0, 249)}  # 1/16 of the b domain
+        z_sel, z_tot = stats_pruned_count(z_path, filt)
+        s_sel, s_tot = stats_pruned_count(s_path, filt)
+        # the 1-D a-sort spreads b across EVERY file (no pruning);
+        # z-order scans a strictly smaller fraction on b
+        assert s_sel == s_tot
+        assert z_sel / z_tot < s_sel / s_tot, (z_sel, z_tot, s_sel, s_tot)
+        # the trade: 1-D is tighter on its own column, but z-order
+        # still prunes meaningfully on a too
+        a_sel, a_tot = stats_pruned_count(z_path, {"a": (0, 249)})
+        assert a_sel < a_tot
+        # pruning is transparent: result equals full scan + filter
+        got = sorted(
+            r["a"] for r in read_table(
+                spark, z_path, stats_filter=filt).collect()
+        )
+        expect = sorted(pdf[pdf["b"] <= 249]["a"].tolist())
+        assert got == expect
+
+    def test_validation_and_degenerate_span(self, spark):
+        import pandas as pd
+
+        from remediner_spark.sources.table import zorder_frame
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"a": [1, 1, 1], "b": [3, 1, 2]})
+        )
+        with pytest.raises(ValueError):
+            zorder_frame(df, [], 4)
+        # constant column (span 0): no crash, rows preserved
+        out = zorder_frame(df, ["a", "b"], 2)
+        assert sorted(r["b"] for r in out.collect()) == [1, 2, 3]
