@@ -203,14 +203,51 @@ SELECT doc_id, lang, source FROM both_gens
 WHERE lang IN ('{PSPEC_LANGS[0]}', '{PSPEC_LANGS[1]}')"""
 
 
+# z-order scenario: cluster on (doc_id, n_chars), then a stats-filtered
+# read on the NON-leading dimension must still equal the relational
+# recomputation exactly (pruning is a transparent optimization)
+ZORD_LO, ZORD_HI = 200, 900  # n_chars range filter
+
+
+def _ensure_zorder_table(spark: SparkSession, sf_dir: str) -> str:
+    from ..sources.table import write_table, zorder_frame
+
+    def build(path: str) -> None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "n_chars", "lang"
+        )
+        write_table(zorder_frame(docs, ["doc_id", "n_chars"], 8), path)
+
+    return _build_once(_cache_dir("zorder", sf_dir), build)
+
+
+def q_table_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-filtered read over a z-ordered table: files prune on the
+    n_chars dimension via their Morton-box footer stats, and the
+    row-level re-application keeps the result exact."""
+    from ..sources.table import read_table
+
+    path = _ensure_zorder_table(spark, sf_dir)
+    return read_table(
+        spark, path, stats_filter={"n_chars": (ZORD_LO, ZORD_HI)}
+    ).select("doc_id", "n_chars", "lang")
+
+
+SQL_TABLE_ZORDER_READ = f"""
+SELECT doc_id, n_chars, lang FROM documents
+WHERE n_chars BETWEEN {ZORD_LO} AND {ZORD_HI}"""
+
+
 QUERIES = {
     "table_mor_read": q_table_mor_read,
     "table_evolution_read": q_table_evolution_read,
     "table_pspec_read": q_table_pspec_read,
+    "table_zorder_read": q_table_zorder_read,
 }
 
 ORACLES = {
     "table_mor_read": SQL_TABLE_MOR_READ,
     "table_evolution_read": SQL_TABLE_EVOLUTION_READ,
     "table_pspec_read": SQL_TABLE_PSPEC_READ,
+    "table_zorder_read": SQL_TABLE_ZORDER_READ,
 }
