@@ -218,11 +218,113 @@ FROM events
 GROUP BY ROLLUP (date_trunc('day', ts), event_type)"""
 
 
+MAVG_FRAME = 6  # ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+
+
+def q_event_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user moving average over a 7-row window frame (ROWS BETWEEN
+    6 PRECEDING AND CURRENT ROW) — the sliding-frame window surface.
+    Integer-cents sum in the frame (exact, order-free), ONE double
+    division + 6dp round per row (same op sequence both engines);
+    frame order (ts, event_id) is unique so the frame contents are
+    deterministic.
+
+    Scale shape: one shuffle on user_id, per-partition sort —
+    the standard windowed-analytics plan; frames never cross users."""
+    from pyspark.sql.window import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", _cents(F.col("value")).alias("cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-MAVG_FRAME, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum("cents").over(w).alias("w_sum_cents"),
+        F.count(F.lit(1)).over(w).alias("w_n"),
+    ).select(
+        "event_id",
+        "user_id",
+        "w_sum_cents",
+        "w_n",
+        F.round(
+            F.col("w_sum_cents") / (F.lit(100.0) * F.col("w_n")), 6
+        ).alias("w_avg"),
+    )
+
+
+SQL_EVENT_MOVING_AVG = f"""
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+w AS (
+  SELECT event_id, user_id,
+         CAST(sum(cents) OVER f AS BIGINT) AS w_sum_cents,
+         CAST(count(*) OVER f AS BIGINT) AS w_n
+  FROM c
+  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {MAVG_FRAME} PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, w_sum_cents, w_n,
+       round(w_sum_cents / (100.0 * w_n), 6) AS w_avg
+FROM w"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user pivot of event_type into columns (count + cents sum
+    per type) — the wide-table reshaping surface. The type list is
+    EXPLICIT (Spark's pivot with inferred values would launch a
+    distinct job and produce column sets that vary with the data;
+    DuckDB's PIVOT has the same instability), so both engines compute
+    fixed conditional aggregations: one user_id shuffle with map-side
+    partials, same as any groupBy."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", _cents(F.col("value")).alias("cents")
+    )
+    aggs = []
+    for t in EVENT_TYPES:
+        is_t = F.when(F.col("event_type") == t, 1).otherwise(0)
+        aggs.append(F.sum(is_t).cast("long").alias(f"n_{t}"))
+        aggs.append(
+            F.sum(F.when(F.col("event_type") == t, F.col("cents"))
+                  .otherwise(F.lit(0).cast("long")))
+            .cast("long")
+            .alias(f"cents_{t}")
+        )
+    return events.groupBy("user_id").agg(*aggs)
+
+
+def sql_event_pivot() -> str:
+    cols = []
+    for t in EVENT_TYPES:
+        cols.append(
+            f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS n_{t}"
+        )
+        cols.append(
+            f"CAST(sum(CASE WHEN event_type = '{t}' THEN "
+            f"CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) "
+            f"AS BIGINT) AS cents_{t}"
+        )
+    return f"""
+SELECT user_id, {", ".join(cols)}
+FROM events GROUP BY user_id"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "event_rollup": q_event_rollup,
+    "event_moving_avg": q_event_moving_avg,
+    "event_pivot": q_event_pivot,
 }
 
 ORACLES = {
@@ -230,4 +332,6 @@ ORACLES = {
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,
     "event_rollup": SQL_EVENT_ROLLUP,
+    "event_moving_avg": SQL_EVENT_MOVING_AVG,
+    "event_pivot": sql_event_pivot(),
 }
