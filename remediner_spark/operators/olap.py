@@ -318,6 +318,32 @@ SELECT user_id, {", ".join(cols)}
 FROM events GROUP BY user_id"""
 
 
+def q_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse reshaping, run as a ROUND TRIP
+    through q_event_pivot: wide per-user columns stack back to
+    (user_id, event_type, n, cents_sum) rows, zero-count cells
+    dropped. The oracle is the DIRECT long-form aggregation, so the
+    gate proves pivot∘unpivot == identity on the aggregate, not just
+    that two reshapes agree. stack() is a generator expression —
+    map-side, no extra shuffle beyond the pivot's."""
+    wide = q_event_pivot(spark, sf_dir)
+    triples = ", ".join(
+        f"'{t}', n_{t}, cents_{t}" for t in EVENT_TYPES
+    )
+    return wide.selectExpr(
+        "user_id",
+        f"stack({len(EVENT_TYPES)}, {triples}) "
+        "AS (event_type, n, cents_sum)",
+    ).where(F.col("n") > 0)
+
+
+SQL_EVENT_UNPIVOT = """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents_sum
+FROM events GROUP BY user_id, event_type"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -325,6 +351,7 @@ QUERIES = {
     "event_rollup": q_event_rollup,
     "event_moving_avg": q_event_moving_avg,
     "event_pivot": q_event_pivot,
+    "event_unpivot": q_event_unpivot,
 }
 
 ORACLES = {
@@ -334,4 +361,5 @@ ORACLES = {
     "event_rollup": SQL_EVENT_ROLLUP,
     "event_moving_avg": SQL_EVENT_MOVING_AVG,
     "event_pivot": sql_event_pivot(),
+    "event_unpivot": SQL_EVENT_UNPIVOT,
 }
