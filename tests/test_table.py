@@ -1802,7 +1802,8 @@ def test_table_manifests_metadata(spark, tmp_path):
 def test_table_model_based_random_ops(spark, tmp_path):
     """Model-based interaction test: a seeded random sequence of
     append / upsert (cow+mor) / range-delete (cow+mor) / compaction /
-    rename / widen / expiry against a pandas reference model. After
+    rename / widen / expiry / partition-spec evolution against a
+    pandas reference model. After
     every step the live read equals the model, and surviving
     historical snapshots still time-travel to their recorded state —
     the pairwise tests above can't see cross-op interactions (e.g. a
@@ -1814,6 +1815,7 @@ def test_table_model_based_random_ops(spark, tmp_path):
     from remediner_spark.sources.table import (
         compact_table,
         delete_range,
+        evolve_partition_spec,
         expire_snapshots,
         read_table,
         rename_column,
@@ -1853,7 +1855,8 @@ def test_table_model_based_random_ops(spark, tmp_path):
         return out
 
     model = make_rows(40)
-    write_table(spark.createDataFrame(model), path, partition_by=["lang"])
+    cur_spec = ["lang"]
+    write_table(spark.createDataFrame(model), path, partition_by=cur_spec)
     history = {1: model.copy()}
 
     def check_live():
@@ -1861,16 +1864,16 @@ def test_table_model_based_random_ops(spark, tmp_path):
             norm(read_table(spark, path).toPandas()), norm(model)
         )
 
-    for _step in range(14):
+    for _step in range(20):
         op = rng.choice(
             ["append", "upsert", "delete", "compact", "rename",
-             "widen", "expire"]
+             "widen", "expire", "evolve"]
         )
         if op == "append":
             batch = make_rows(rng.randrange(1, 8))
             write_table(
                 spark.createDataFrame(batch), path, mode="append",
-                partition_by=["lang"],
+                partition_by=cur_spec,
             )
             model = pd.concat([model, batch], ignore_index=True)
         elif op == "upsert" and len(model):
@@ -1913,6 +1916,11 @@ def test_table_model_based_random_ops(spark, tmp_path):
             widen_column(path, val_col, "long")
             val_ts = "int64"
             model[val_col] = model[val_col].astype("int64")
+        elif op == "evolve":
+            # toggle the spec: subsequent appends/compactions run
+            # under the NEW spec while old files keep serving reads
+            cur_spec = [] if cur_spec else ["lang"]
+            evolve_partition_spec(path, cur_spec)
         elif op == "expire":
             expire_snapshots(path, keep_last=3)
             alive = {s["snapshot_id"] for s in table_snapshots(path)}
