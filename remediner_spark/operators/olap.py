@@ -218,6 +218,37 @@ FROM events
 GROUP BY ROLLUP (date_trunc('day', ts), event_type)"""
 
 
+def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week): all four grouping sets in
+    one pass — the full grouping-set lattice ROLLUP only walks one
+    path of. grouping_id disambiguates NULL-as-total; dow is an
+    the ISO weekday (Mon=1..Sun=7: Spark weekday()+1 == DuckDB
+    isodow() — Spark's dayofweek() is 1=Sunday, DuckDB's is 0=Sunday,
+    so neither engine's native numbering matches the other's)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dow = (F.weekday(F.col("ts")) + 1).alias("dow")
+    return (
+        events.cube(F.col("event_type"), dow)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("cents"),
+            F.grouping_id().alias("grouping_lvl"),
+        )
+        .select("event_type", "dow", "n", "cents", "grouping_lvl")
+    )
+
+
+SQL_EVENT_CUBE = """
+SELECT event_type, CAST(isodow(ts) AS INT) AS dow,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(grouping(event_type) * 2
+            + grouping(isodow(ts)) AS BIGINT) AS grouping_lvl
+FROM events
+GROUP BY CUBE (event_type, isodow(ts))"""
+
+
 MAVG_FRAME = 6  # ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
 
 
@@ -352,6 +383,7 @@ QUERIES = {
     "event_moving_avg": q_event_moving_avg,
     "event_pivot": q_event_pivot,
     "event_unpivot": q_event_unpivot,
+    "event_cube": q_event_cube,
 }
 
 ORACLES = {
@@ -362,4 +394,5 @@ ORACLES = {
     "event_moving_avg": SQL_EVENT_MOVING_AVG,
     "event_pivot": sql_event_pivot(),
     "event_unpivot": SQL_EVENT_UNPIVOT,
+    "event_cube": SQL_EVENT_CUBE,
 }
