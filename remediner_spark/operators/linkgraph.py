@@ -178,28 +178,82 @@ def q_web_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle count, wedge count (connected triples, closed ones
     included), global transitivity (3T / wedges, 6dp).
 
-    Scale shape: the ordered-corner two-join plan (a<b<c) — each
-    triangle counted exactly once, candidate volume Σ C(deg, 2)
-    (the wedge count itself), the standard distributed triangle
-    algorithm. Both joins shuffle on node keys; degree skew is the
-    wedge bound, not a correctness hazard. DuckDB mirrors the
-    identical joins, so counts match exactly."""
+    Scale shape: degree-ordered corner orientation (Suri &
+    Vassilvitskii, WWW'11): each edge is oriented from its
+    lower-(degree, id) endpoint, so wedge candidates are enumerated
+    only at a triangle's MINIMUM-degree corner — per-node candidate
+    work is C(out-deg, 2) with out-deg <= sqrt(2m), making a
+    power-law hub (degree 10^6+ on a real crawl) generate O(m) rather
+    than C(deg, 2) ~ 10^12 rows under one join key (the r6 LSH
+    blow-up class; the r7 lexicographic corner had exactly that
+    hazard). Each triangle is counted exactly once: its min-(deg, id)
+    vertex is the unique corner. DuckDB mirrors the identical
+    orientation and joins, so counts match exactly."""
     return triangle_census(_internal_undirected(_fixture_pages(spark)))
 
 
+def _oriented(e: DataFrame) -> DataFrame:
+    """Degree-orient an undirected simple edge set e(a, b), a < b:
+    one row (lo, hi, deg_hi) per edge with (deg, node) ascending —
+    lo is the endpoint where wedge enumeration is cheap."""
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    return (
+        e.join(da, "a").join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a"))
+            .alias("deg_hi"),
+        )
+    )
+
+
+def oriented_wedges(e: DataFrame) -> DataFrame:
+    """Wedge candidates (v, w) enumerated at each edge's degree-ordered
+    corner, with (deg_v, v) < (deg_w, w) — the triangle-census
+    candidate set. Exposed so tests can pin that the candidate count
+    on a hot-hub graph is linear, not quadratic."""
+    o = _oriented(e)
+    return (
+        o.alias("o1")
+        .join(
+            o.alias("o2"),
+            (F.col("o2.lo") == F.col("o1.lo"))
+            & (
+                (F.col("o1.deg_hi") < F.col("o2.deg_hi"))
+                | (
+                    (F.col("o1.deg_hi") == F.col("o2.deg_hi"))
+                    & (F.col("o1.hi") < F.col("o2.hi"))
+                )
+            ),
+        )
+        .select(F.col("o1.hi").alias("v"), F.col("o2.hi").alias("w"))
+    )
+
+
 def triangle_census(e: DataFrame) -> DataFrame:
-    """Census over an undirected simple edge set e(a, b), a < b."""
-    e = e.cache()
+    """Census over an undirected simple edge set e(a, b), a < b.
+    localCheckpoint (not cache) — e is reused by four subplans inside
+    ONE action here, and a cached plan left live in the session would
+    warm later legs via logical-plan cache matching (CLAUDE.md)."""
+    e = e.localCheckpoint()
     n_edges = e.select(F.count(F.lit(1)).alias("n_edges"))
     tri = (
-        e.alias("e1")
+        oriented_wedges(e)
         .join(
-            e.alias("e2"),
-            (F.col("e2.a") == F.col("e1.a")) & (F.col("e2.b") > F.col("e1.b")),
-        )
-        .join(
-            e.alias("e3"),
-            (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b")),
+            e,
+            (F.least("v", "w") == e["a"]) & (F.greatest("v", "w") == e["b"]),
+            "left_semi",
         )
         .select(F.count(F.lit(1)).alias("n_triangles"))
     )
@@ -232,15 +286,28 @@ def sql_web_triangles() -> str:
     return f"""
 WITH {_sql_hrefs()},
 {_SQL_E},
-tri AS (
-  SELECT count(*) AS n_triangles
-  FROM e e1
-  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
-  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
 deg AS (
   SELECT node, count(*) AS deg FROM (
     SELECT a AS node FROM e UNION ALL SELECT b FROM e)
   GROUP BY node),
+o AS (
+  SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END
+           AS lo,
+         CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END
+           AS hi,
+         CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg
+           END AS deg_hi
+  FROM e
+  JOIN deg da ON da.node = e.a
+  JOIN deg db ON db.node = e.b),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM o o1
+  JOIN o o2 ON o2.lo = o1.lo
+           AND (o1.deg_hi, o1.hi) < (o2.deg_hi, o2.hi)
+  WHERE EXISTS (
+    SELECT 1 FROM e
+    WHERE e.a = least(o1.hi, o2.hi) AND e.b = greatest(o1.hi, o2.hi))),
 wedges AS (
   SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
   FROM deg)
@@ -497,31 +564,46 @@ SELECT node AS url, label AS community FROM l{LPA_ITERS}"""
 # order-free cross-engine)
 LP_SCALE = 1_000_000
 LP_TOPK = 20
+# Centers with degree > cap are excluded from wedge enumeration: a
+# common-neighbor count NEEDS every (u, w, v) triple, so unlike the
+# triangle census no orientation trick can shrink a hub's C(deg, 2)
+# candidate volume — the production guard is a center-degree cap (the
+# LSH bucket_cap / SemDeDup cell_cap analogue). Signal lost is
+# negligible by construction: each wedge through a capped hub would
+# contribute RA weight LP_SCALE/deg < LP_SCALE/cap, and
+# common-neighbor evidence through super-hubs ("everyone links the
+# homepage") is precisely the non-discriminative part. The gate runs
+# the cap ON and DuckDB mirrors the capped decision, so results match
+# whether or not the cap binds on the fixture.
+LP_CENTER_CAP = 8
 
 
-def q_web_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link prediction over the internal graph: for node pairs NOT yet
-    connected, count common neighbors and sum the resource-allocation
-    index; emit the top-{LP_TOPK}.
-
-    Scale shape: the wedge join (e1.w == e2.w, u < v) is the same
-    ordered-corner plan as the triangle census — candidate volume is
-    the wedge count, bounded by degree; the already-an-edge
-    exclusion is a LEFT ANTI join on the pair key; final top-k is
-    TakeOrdered, never a global sort."""
-    e = _internal_undirected(_fixture_pages(spark)).cache()
+def link_predict_candidates(
+    e: DataFrame, center_cap: int | None = LP_CENTER_CAP
+) -> DataFrame:
+    """Open-wedge candidates scored by common-neighbor count + integer
+    resource-allocation index over an undirected simple edge set
+    e(a, b), a < b. Unlimited rows — callers top-k."""
+    e = e.localCheckpoint()
     und = e.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
         e.select(F.col("b").alias("u"), F.col("a").alias("w"))
     )
     deg = und.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+    if center_cap is not None:
+        deg = deg.where(F.col("deg") <= center_cap)
+    # inner join on w drops capped centers from enumeration AND
+    # provides deg for the RA term in one hash join
+    undd = und.join(deg, "w")
     wedges = (
-        und.alias("x")
+        undd.alias("x")
         .join(
-            und.alias("y"),
+            undd.alias("y"),
             (F.col("x.w") == F.col("y.w")) & (F.col("x.u") < F.col("y.u")),
         )
         .select(
-            F.col("x.u").alias("u"), F.col("y.u").alias("v"), F.col("x.w").alias("w")
+            F.col("x.u").alias("u"),
+            F.col("y.u").alias("v"),
+            F.col("x.deg").alias("deg"),
         )
     )
     open_wedges = wedges.join(
@@ -529,13 +611,24 @@ def q_web_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         (wedges["u"] == e["a"]) & (wedges["v"] == e["b"]),
         "left_anti",
     )
+    return open_wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum(F.expr(f"{LP_SCALE} div deg")).alias("ra_fp"),
+    )
+
+
+def q_web_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the internal graph: for node pairs NOT yet
+    connected, count common neighbors and sum the resource-allocation
+    index; emit the top-{LP_TOPK}.
+
+    Scale shape: wedge enumeration per center w is C(deg, 2) — the
+    problem's inherent volume — with LP_CENTER_CAP bounding any
+    single join key's blow-up (see the constant's comment); the
+    already-an-edge exclusion is a LEFT ANTI join on the pair key;
+    final top-k is TakeOrdered, never a global sort."""
     return (
-        open_wedges.join(deg, "w")
-        .groupBy("u", "v")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.sum(F.expr(f"{LP_SCALE} div deg")).alias("ra_fp"),
-        )
+        link_predict_candidates(_internal_undirected(_fixture_pages(spark)))
         .orderBy(F.col("n_common").desc(), F.col("ra_fp").desc(), "u", "v")
         .limit(LP_TOPK)
     )
@@ -546,17 +639,20 @@ def sql_web_link_predict() -> str:
 WITH {_sql_hrefs()},
 {_SQL_E},
 und AS (SELECT a AS u, b AS w FROM e UNION ALL SELECT b, a FROM e),
-deg AS (SELECT w, count(*) AS deg FROM und GROUP BY w),
+deg AS (
+  SELECT w, count(*) AS deg FROM und GROUP BY w
+  HAVING count(*) <= {LP_CENTER_CAP}),
+undd AS (SELECT und.u, und.w, deg.deg FROM und JOIN deg ON deg.w = und.w),
 wedges AS (
-  SELECT x.u AS u, y.u AS v, x.w AS w
-  FROM und x JOIN und y ON x.w = y.w AND x.u < y.u),
+  SELECT x.u AS u, y.u AS v, x.deg AS deg
+  FROM undd x JOIN undd y ON x.w = y.w AND x.u < y.u),
 ow AS (
-  SELECT wg.u, wg.v, wg.w FROM wedges wg
+  SELECT wg.u, wg.v, wg.deg FROM wedges wg
   WHERE NOT EXISTS (
     SELECT 1 FROM e WHERE e.a = wg.u AND e.b = wg.v))
 SELECT u, v, count(*) AS n_common,
-       CAST(sum({LP_SCALE} // deg.deg) AS BIGINT) AS ra_fp
-FROM ow JOIN deg ON deg.w = ow.w
+       CAST(sum({LP_SCALE} // deg) AS BIGINT) AS ra_fp
+FROM ow
 GROUP BY u, v
 ORDER BY n_common DESC, ra_fp DESC, u, v
 LIMIT {LP_TOPK}"""

@@ -206,3 +206,67 @@ class TestLinkPredict:
             ("a", "c"): (2, 2 * (LG.LP_SCALE // 2)),
             ("b", "d"): (2, 2 * (LG.LP_SCALE // 2)),
         }
+
+
+class TestHotHubOrientation:
+    """Pin the r7-verdict scale fix: a hub of degree d must not put
+    C(d, 2) wedge candidates under one join key.
+
+    Census: degree-ordered orientation means spokes (deg 1) own every
+    star edge, so the star's candidate count is ZERO (lexicographic
+    orientation with a low-sorting hub name produced C(d, 2)).
+    Link prediction: exact common-neighbor counting inherently needs
+    every wedge, so the guard is LP_CENTER_CAP — capped, the hub
+    enumerates nothing; uncapped it is quadratic."""
+
+    HUB, N = "a_hub", 60  # hub sorts lexicographically FIRST — the
+    # exact shape where the old lex corner went quadratic
+
+    @pytest.fixture()
+    def star(self, spark):
+        from pyspark.sql import functions as F
+
+        rows = [(self.HUB, f"z_spoke_{i:03d}") for i in range(self.N)]
+        return spark.createDataFrame(rows, "a string, b string").select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+
+    def test_star_census_candidates_linear_not_quadratic(self, spark, star):
+        from remediner_spark.operators.linkgraph import (
+            oriented_wedges, triangle_census)
+
+        # lexicographic corner (the old plan) explodes: C(60, 2) rows
+        lex = star.alias("e1").join(
+            star.alias("e2"), "a").where("e2.b > e1.b").count()
+        assert lex == self.N * (self.N - 1) // 2
+        # degree-ordered corner: spokes have out-degree 1 -> no pairs
+        assert oriented_wedges(star).count() == 0
+        row = triangle_census(star).collect()[0]
+        assert (row["n_edges"], row["n_triangles"]) == (self.N, 0)
+        assert row["n_wedges"] == self.N * (self.N - 1) // 2
+
+    def test_closing_edge_still_counted_once(self, spark, star):
+        from pyspark.sql import functions as F
+
+        from remediner_spark.operators.linkgraph import triangle_census
+
+        extra = spark.createDataFrame(
+            [("z_spoke_000", "z_spoke_001")], "a string, b string")
+        e = star.unionAll(extra)
+        row = triangle_census(e).collect()[0]
+        assert row["n_triangles"] == 1
+        # candidate volume stays linear: the two deg-2 spokes enumerate
+        from remediner_spark.operators.linkgraph import oriented_wedges
+        assert oriented_wedges(e).count() <= 2
+
+    def test_link_predict_center_cap_bounds_hub(self, spark, star):
+        from remediner_spark.operators.linkgraph import (
+            LP_SCALE, link_predict_candidates)
+
+        capped = link_predict_candidates(star, center_cap=8)
+        assert capped.count() == 0  # hub excluded -> nothing enumerated
+        uncapped = link_predict_candidates(star, center_cap=None)
+        # exact form: every spoke pair is a candidate through the hub
+        assert uncapped.count() == self.N * (self.N - 1) // 2
+        r = uncapped.where("u = 'z_spoke_000' AND v = 'z_spoke_001'").collect()
+        assert r[0]["n_common"] == 1 and r[0]["ra_fp"] == LP_SCALE // self.N
