@@ -237,6 +237,13 @@ def generate_pages(n_pages: int, seed: int = SEED) -> tuple[pd.DataFrame, pd.Dat
     return pages, ann
 
 
+# bench cache-key version for the DERIVED links corpus: bump whenever
+# add_outlinks' injection rule changes, or bench.py silently reuses a
+# stale tiled corpus from /dev/shm and benches the old graph (r7
+# ADVICE) — CORPUS_VERSION alone only tracks the BASE generator.
+LINKS_VERSION = 1
+
+
 def add_outlinks(pages: pd.DataFrame) -> pd.DataFrame:
     """Inject deterministic ``<a href>`` outlinks into each page's html
     — the web-graph dimension of a Common-Crawl-style corpus (link
