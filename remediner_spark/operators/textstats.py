@@ -644,6 +644,81 @@ SELECT doc_id, avg_p,
 FROM b"""
 
 
+def q_text_ppl_buckets_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of CCNet bucketing (r7 verdict #3): the exact
+    global ntile above needs a total order over every document — a
+    single-partition window at corpus scale. Production derives the
+    two cutoff scores from a DETERMINISTIC sample (docs whose md5
+    doc-id hash lands in 1/10 of the space), broadcasts the two
+    cutoffs, and buckets map-side — the only non-map-side work left is
+    ranking the sample itself.
+
+    Cross-engine exactness: the sample membership is the shared
+    md5-prefix hash, the cutoffs are the ceil(n/3)/ceil(2n/3)-ranked
+    sample rows under (avg_p DESC, doc_id) — a total order with no
+    float ties ambiguity since avg_p is already rounded to 6dp — and
+    the bucket rule is a pure (avg_p, doc_id)-vs-cutoff comparison, so
+    DuckDB reproduces every decision bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    scores = q_text_lm_score(spark, sf_dir)
+    sample = scores.where(
+        md5_hash32_expr(F.col("doc_id").cast("string")) % 10 == 0
+    )
+    ranked = sample.select(
+        "avg_p",
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("avg_p").desc(), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    k1, k2 = F.expr("(n + 2) div 3"), F.expr("(2 * n + 2) div 3")
+    cut = ranked.agg(
+        F.max(F.when(F.col("rn") == k1, F.col("avg_p"))).alias("c1_p"),
+        F.max(F.when(F.col("rn") == k1, F.col("doc_id"))).alias("c1_id"),
+        F.max(F.when(F.col("rn") == k2, F.col("avg_p"))).alias("c2_p"),
+        F.max(F.when(F.col("rn") == k2, F.col("doc_id"))).alias("c2_id"),
+    )
+    before_c1 = (F.col("avg_p") > F.col("c1_p")) | (
+        (F.col("avg_p") == F.col("c1_p")) & (F.col("doc_id") <= F.col("c1_id"))
+    )
+    before_c2 = (F.col("avg_p") > F.col("c2_p")) | (
+        (F.col("avg_p") == F.col("c2_p")) & (F.col("doc_id") <= F.col("c2_id"))
+    )
+    return scores.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        "avg_p",
+        F.when(before_c1, "head")
+        .when(before_c2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+SQL_TEXT_PPL_BUCKETS_SAMPLED = f"""
+WITH scores AS ({SQL_TEXT_LM_SCORE}),
+s AS (
+  SELECT doc_id, avg_p,
+         row_number() OVER (ORDER BY avg_p DESC, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM scores
+  WHERE {md5_hash32_sql('CAST(doc_id AS VARCHAR)')} % 10 = 0),
+cut AS (
+  SELECT max(CASE WHEN rn = (n + 2) // 3 THEN avg_p END) AS c1_p,
+         max(CASE WHEN rn = (n + 2) // 3 THEN doc_id END) AS c1_id,
+         max(CASE WHEN rn = (2 * n + 2) // 3 THEN avg_p END) AS c2_p,
+         max(CASE WHEN rn = (2 * n + 2) // 3 THEN doc_id END) AS c2_id
+  FROM s)
+SELECT scores.doc_id, scores.avg_p,
+       CASE WHEN avg_p > c1_p
+              OR (avg_p = c1_p AND scores.doc_id <= c1_id) THEN 'head'
+            WHEN avg_p > c2_p
+              OR (avg_p = c2_p AND scores.doc_id <= c2_id) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scores CROSS JOIN cut"""
+
+
 QUERIES = {
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
@@ -655,6 +730,7 @@ QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "text_lm_score": q_text_lm_score,
     "text_ppl_buckets": q_text_ppl_buckets,
+    "text_ppl_buckets_sampled": q_text_ppl_buckets_sampled,
 }
 
 ORACLES = {
@@ -668,4 +744,5 @@ ORACLES = {
     "url_canonicalize": sql_url_canonicalize(),
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "text_ppl_buckets": SQL_TEXT_PPL_BUCKETS,
+    "text_ppl_buckets_sampled": SQL_TEXT_PPL_BUCKETS_SAMPLED,
 }
