@@ -159,6 +159,87 @@ WITH {_sql_hrefs()},
 SELECT node AS url, r AS rank_fp FROM r{PR_ITERS}"""
 
 
+def pagerank_weighted_fixed_point(
+    edges: DataFrame, iters: int = PR_ITERS
+) -> DataFrame:
+    """edges(src, dst, w) with INTEGER weights -> (node, rank_fp):
+    weighted PageRank, damping 0.85 — rank flows proportional to edge
+    weight (r * w div out_weight, integer-exact cross-engine).
+
+    The production form for dense sites: q_web_link_pagerank preserves
+    multiplicity as duplicate edge rows, so a page linking a target
+    50x ships 50 rows through every per-round shuffle; folding
+    multiplicity into n_links first makes the per-round volume
+    DISTINCT-edge-grain (~halves it on template-heavy sites) while
+    keeping the same mass semantics. Not bit-identical to the
+    duplicate-row form (r*w div ow vs summing w copies of r div ow —
+    integer division rounds once vs w times), hence its own oracle."""
+    edges = edges.localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ow = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ranks = nodes.withColumn("r", F.lit(PR_SCALE).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(ow, "src")
+            .select(F.col("dst"), F.expr("r * w div ow").alias("c"))
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, nodes["node"] == summed["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(PR_BASE)
+                    + F.expr("(85 * coalesce(s, 0)) div 100")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()  # truncate lineage per round
+        )
+    return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
+def q_web_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lg = link_graph(_fixture_pages(spark)).where(
+        F.col("dst_url").startswith(_INTERNAL_PREFIX)
+    )
+    return pagerank_weighted_fixed_point(
+        lg.select(
+            F.col("src_url").alias("src"),
+            F.col("dst_url").alias("dst"),
+            F.col("n_links").alias("w"),
+        )
+    ).withColumnRenamed("node", "url")
+
+
+def sql_web_pagerank_weighted() -> str:
+    steps = []
+    for i in range(PR_ITERS):
+        steps.append(f"""
+s{i + 1} AS (
+  SELECT e.dst, sum(r{i}.r * e.w // ow.ow) AS s
+  FROM we e
+  JOIN r{i} ON r{i}.node = e.src
+  JOIN ow ON ow.src = e.src
+  GROUP BY e.dst),
+r{i + 1} AS (
+  SELECT n.node,
+         CAST({PR_BASE} + (85 * coalesce(s{i + 1}.s, 0)) // 100 AS BIGINT)
+           AS r
+  FROM nodes n LEFT JOIN s{i + 1} ON s{i + 1}.dst = n.node)""")
+    return f"""
+WITH {_sql_hrefs()},
+we AS (
+  SELECT src, dst, count(*) AS w FROM hrefs
+  WHERE dst LIKE '{_INTERNAL_PREFIX}%'
+  GROUP BY src, dst),
+nodes AS (SELECT DISTINCT src AS node FROM we),
+ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM we GROUP BY src),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
+{",".join(steps)}
+SELECT node AS url, r AS rank_fp FROM r{PR_ITERS}"""
+
+
 def _internal_undirected(pages: DataFrame) -> DataFrame:
     """Distinct undirected internal edge set e(a, b) with a < b (self
     links dropped) — the simple-graph view triangle counting and
@@ -487,6 +568,83 @@ JOIN r{PR_ITERS} ON r{PR_ITERS}.node = f.src
 GROUP BY f.dst"""
 
 
+# ------------------------------------------------- polite frontier
+# crawl_frontier x robots_filter composed (r7 verdict #5): a real
+# scheduler emits (url, priority) INTERSECT robots-allowed — frontier
+# targets whose host's robots.txt permits the crawler. Per-host rules
+# are broadcast (the rules dict rides the mapInPandas closure); the
+# priority computation is untouched, so the politeness pass is a
+# map-side filter after the two frontier shuffles.
+
+_CDN_HOSTS = 7  # add_outlinks: cdn{(i//3) % 7}.example-assets.net
+
+
+def _synth_cdn_robots(k: int) -> str:
+    """Deterministic robots.txt for asset host cdn{k}: everything
+    under /l/ disallowed except two $-anchored Allow'd slots — the
+    longest-match + Allow-tie + anchor semantics the standalone
+    robots gate already pins, now exercised through the frontier."""
+    return "\n".join(
+        [
+            "User-agent: *",
+            "Disallow: /l/",
+            f"Allow: /l/{k}$",
+            f"Allow: /l/{(k + 3) % 11}$",
+        ]
+    )
+
+
+def q_crawl_frontier_polite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.robots import robots_filter_stage
+
+    fr = q_crawl_frontier(spark, sf_dir).select(
+        "url",
+        "n_referrers",
+        "priority_fp",
+        F.regexp_extract("url", "https://([^/]+)", 1).alias("host"),
+        F.regexp_replace("url", "https://[^/]+", "").alias("path"),
+    )
+    robots = {
+        f"cdn{k}.example-assets.net": _synth_cdn_robots(k)
+        for k in range(_CDN_HOSTS)
+    }
+    return robots_filter_stage(fr, robots, agent="kgbot/1.0").where(
+        "allowed"
+    ).select("url", "n_referrers", "priority_fp")
+
+
+def sql_crawl_frontier_polite() -> str:
+    # closed-form robots decision: cdn{k} allows /l/{m} iff m == k or
+    # m == (k+3) % 11 (the $-anchored Allow slots); hosts with no
+    # robots file are fully allowed per RFC 9309
+    from ..sources.kg_fixture import ensure_kg_fixture
+
+    d = ensure_kg_fixture()
+    return f"""
+WITH {_sql_hrefs()},
+{_SQL_EDGES},
+{_sql_pr_ctes()},
+frontier AS (
+  SELECT h.src, h.dst FROM hrefs h
+  WHERE NOT EXISTS (
+    SELECT 1 FROM read_parquet('{d}/linked_pages.parquet') p
+    WHERE p.url = h.dst)),
+scored AS (
+  SELECT f.dst AS url, count(*) AS n_referrers,
+         CAST(sum(r{PR_ITERS}.r) AS BIGINT) AS priority_fp
+  FROM frontier f
+  JOIN r{PR_ITERS} ON r{PR_ITERS}.node = f.src
+  GROUP BY f.dst)
+SELECT url, n_referrers, priority_fp FROM scored
+WHERE CASE
+  WHEN url NOT LIKE 'https://cdn%' THEN TRUE
+  ELSE CAST(regexp_extract(url, 'cdn([0-9]+)', 1) AS INT) =
+         CAST(regexp_extract(url, '/l/([0-9]+)$', 1) AS INT)
+    OR (CAST(regexp_extract(url, 'cdn([0-9]+)', 1) AS INT) + 3) % 11 =
+         CAST(regexp_extract(url, '/l/([0-9]+)$', 1) AS INT)
+  END"""
+
+
 LPA_ITERS = 3
 
 
@@ -661,9 +819,11 @@ LIMIT {LP_TOPK}"""
 QUERIES = {
     "web_link_graph": q_web_link_graph,
     "web_link_pagerank": q_web_link_pagerank,
+    "web_pagerank_weighted": q_web_pagerank_weighted,
     "web_triangles": q_web_triangles,
     "web_hits": q_web_hits,
     "crawl_frontier": q_crawl_frontier,
+    "crawl_frontier_polite": q_crawl_frontier_polite,
     "web_lpa_communities": q_web_lpa,
     "web_link_predict": q_web_link_predict,
 }
@@ -673,9 +833,11 @@ def oracles() -> dict[str, str]:
     return {
         "web_link_graph": sql_web_link_graph(),
         "web_link_pagerank": sql_web_link_pagerank(),
+        "web_pagerank_weighted": sql_web_pagerank_weighted(),
         "web_triangles": sql_web_triangles(),
         "web_hits": sql_web_hits(),
         "crawl_frontier": sql_crawl_frontier(),
+        "crawl_frontier_polite": sql_crawl_frontier_polite(),
         "web_lpa_communities": sql_web_lpa(),
         "web_link_predict": sql_web_link_predict(),
     }
