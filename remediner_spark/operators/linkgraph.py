@@ -568,6 +568,62 @@ JOIN r{PR_ITERS} ON r{PR_ITERS}.node = f.src
 GROUP BY f.dst"""
 
 
+# ------------------------------------- incremental link-graph table
+# The daily-crawl maintenance path (r7 verdict #4): each crawl batch's
+# delta edges are MERGEd into the materialized link-graph table via
+# streaming.link_merge_fn (bucket-pruned replace_partitions commits,
+# replay-guarded). The gate drives three deterministic batches and
+# checks the accumulated table equals a FULL REBUILD — the referee
+# DuckDB computes from scratch.
+
+_INC_TABLE_VERSION = 1
+_INC_BATCHES = 3
+
+
+def _ensure_incremental_table(spark: SparkSession) -> str:
+    import os
+
+    from ..sources import corpus
+    from ..sources.kg_fixture import FIXTURE_VERSION
+    from ..streaming import link_merge_fn
+    from .tableops import _build_once
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out = os.path.join(
+        repo, ".kg_oracle",
+        f"linkgraph_inc_v{_INC_TABLE_VERSION}"
+        f".{corpus.CORPUS_VERSION}.{FIXTURE_VERSION}",
+    )
+
+    def build(path: str) -> None:
+        pages = _fixture_pages(spark)
+        merge = link_merge_fn(spark, path, scope="gate", n_buckets=4)
+        for b in range(_INC_BATCHES):
+            merge(
+                pages.where(F.pmod(F.xxhash64("url"), F.lit(_INC_BATCHES))
+                            == b),
+                b,
+            )
+        merge(pages.limit(5), 1)  # replayed batch id: must be a no-op
+
+    return _build_once(out, build)
+
+
+def q_web_link_graph_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Read the incrementally-MERGEd link-graph table; the oracle is
+    the full rebuild, so green == batch accumulation is lossless
+    (including the replayed-batch no-op the build injects)."""
+    from ..sources.table import read_table
+
+    return read_table(spark, _ensure_incremental_table(spark)).select(
+        "src_url", "dst_url", "n_links"
+    )
+
+
 # ------------------------------------------------- polite frontier
 # crawl_frontier x robots_filter composed (r7 verdict #5): a real
 # scheduler emits (url, priority) INTERSECT robots-allowed — frontier
@@ -818,6 +874,7 @@ LIMIT {LP_TOPK}"""
 
 QUERIES = {
     "web_link_graph": q_web_link_graph,
+    "web_link_graph_incremental": q_web_link_graph_incremental,
     "web_link_pagerank": q_web_link_pagerank,
     "web_pagerank_weighted": q_web_pagerank_weighted,
     "web_triangles": q_web_triangles,
@@ -832,6 +889,7 @@ QUERIES = {
 def oracles() -> dict[str, str]:
     return {
         "web_link_graph": sql_web_link_graph(),
+        "web_link_graph_incremental": sql_web_link_graph(),
         "web_link_pagerank": sql_web_link_pagerank(),
         "web_pagerank_weighted": sql_web_pagerank_weighted(),
         "web_triangles": sql_web_triangles(),

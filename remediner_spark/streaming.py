@@ -247,25 +247,31 @@ def stream_edge_weights(
     )
 
 
+def _last_merged_batch(table_path: str, scope: str) -> int:
+    """Most recent snapshot carrying THIS scope's replay marker (other
+    writers — compaction, other streams — may commit in between);
+    expire_snapshots preserves dropped markers in carried_scopes."""
+    from .sources.table import _load_snapshots
+
+    for s in reversed(_load_snapshots(table_path)):
+        props = s.get("properties") or {}
+        if props.get("scope") == scope:
+            return int(props["batch_id"])
+        carried = props.get("carried_scopes") or {}
+        if scope in carried:
+            return int(carried[scope])
+    return -1
+
+
 def edge_merge_fn(spark: SparkSession, table_path: str, scope: str,
                   n_buckets: int):
     """The foreachBatch merge for stream_edge_weights, factored out so
     tests can drive redelivery directly. ``scope`` identifies the
     stream instance (the checkpoint location in production)."""
-    from .sources.table import _load_snapshots, read_table, write_table
+    from .sources.table import read_table, write_table
 
     def last_merged_batch() -> int:
-        # most recent snapshot carrying THIS scope's marker (other
-        # writers — compaction, other streams — may commit in between);
-        # expire_snapshots preserves dropped markers in carried_scopes
-        for s in reversed(_load_snapshots(table_path)):
-            props = s.get("properties") or {}
-            if props.get("scope") == scope:
-                return int(props["batch_id"])
-            carried = props.get("carried_scopes") or {}
-            if scope in carried:
-                return int(carried[scope])
-        return -1
+        return _last_merged_batch(table_path, scope)
 
     def merge_batch(batch_df, batch_id: int) -> None:
         if batch_id <= last_merged_batch():
@@ -319,6 +325,87 @@ def edge_merge_fn(spark: SparkSession, table_path: str, scope: str,
             deltas.unpersist()
 
     return merge_batch
+
+
+def link_merge_fn(spark: SparkSession, table_path: str, scope: str,
+                  n_buckets: int):
+    """foreachBatch merge of a page micro-batch's LINK-GRAPH deltas
+    into a materialized (src_url, dst_url, n_links) table — the
+    production companion to dedup_incremental for the web graph: a
+    daily crawl merges its delta edges instead of rebuilding the full
+    graph (r7 verdict #4).
+
+    Same machinery as edge_merge_fn: bucket partitioning on
+    xxhash64(src_url), manifest-pruned read of ONLY the touched
+    buckets, n_links := sum merge, one replace_partitions snapshot per
+    batch with the (scope, batch_id) replay marker riding inside the
+    commit. Per-batch cost scales with the DELTA's bucket footprint,
+    never the accumulated table."""
+    from .operators.linkgraph import link_graph
+    from .sources.table import read_table, write_table
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        if batch_id <= _last_merged_batch(table_path, scope):
+            return  # redelivered micro-batch — already committed
+        deltas = (
+            link_graph(batch_df)
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("src_url"), F.lit(n_buckets)).cast("int"),
+            )
+            .cache()
+        )
+        try:
+            touched = sorted(
+                r["bucket"]
+                for r in deltas.select("bucket").distinct().collect()
+            )
+            if not touched:
+                return
+            try:
+                current = read_table(
+                    spark, table_path, partition_filter={"bucket": touched}
+                ).withColumn("bucket", F.col("bucket").cast("int"))
+            except FileNotFoundError:
+                current = None
+            merged = (
+                deltas if current is None else deltas.unionByName(current)
+            ).groupBy("src_url", "dst_url", "bucket").agg(
+                F.sum("n_links").alias("n_links")
+            ).select("src_url", "dst_url", "n_links", "bucket")
+            merged = merged.repartition(max(len(touched), 1), "bucket")
+            write_table(
+                merged, table_path,
+                mode="replace_partitions" if current is not None
+                else "overwrite",
+                partition_by=["bucket"],
+                properties={"scope": scope, "batch_id": int(batch_id)},
+            )
+        finally:
+            deltas.unpersist()
+
+    return merge_batch
+
+
+def stream_link_graph(
+    spark: SparkSession,
+    pages_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 8,
+):
+    """Continuously-maintained link-graph table: file-source stream
+    over the crawl directory, per-batch href extraction (pure JVM) +
+    incremental MERGE of the batch's weighted edges."""
+    merge_batch = link_merge_fn(spark, table_path, checkpoint_dir,
+                                n_buckets)
+    pages = stream_pages(spark, pages_dir)
+    return (
+        pages.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def stream_dedup_first_seen(
