@@ -71,17 +71,29 @@ def semdedup(
     100 TB hot-cell guard (None = exact all-pairs in every cell —
     unsafe on real crawls, kept for the capped-vs-uncapped test)."""
     centers = ensure_centroids(spark, emb)
+    assigned = emb.withColumn(
+        "cell",
+        F.array_min(_d2_cell_structs(F.col("v"), centers))["cell"]
+        .cast("long"),
+    )
+    return semdedup_over_cells(assigned, cell_cap)
+
+
+def semdedup_over_cells(
+    assigned: DataFrame, cell_cap: int | None = CELL_CAP
+) -> DataFrame:
+    """The post-assignment phase over ``assigned(vec_id, v, cell)`` —
+    factored out so tools/run_semdedup_cap.py can drive a synthetic
+    degenerate-cell assignment directly (re-fitting the quantizer
+    there would overwrite the shared oracle centroids side file)."""
     from pyspark.storagelevel import StorageLevel
 
     # both sides of the cell self-join + the final verdict select
     # read `assigned`; persist so assignment (NLIST d2 aggregates per
     # row) runs once. Bounded (n_vecs x dim doubles), spillable,
     # released via session.cache_scope — the minhash band contract.
-    assigned = emb.withColumn(
-        "cell",
-        F.array_min(_d2_cell_structs(F.col("v"), centers))["cell"]
-        .cast("long"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+
     def pair_cols(df: DataFrame) -> DataFrame:
         return df.select(
             F.col("a.vec_id").alias("aid"),
