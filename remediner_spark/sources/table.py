@@ -358,6 +358,18 @@ def _stamp_field_mapping(
         e["fields"] = mapping
 
 
+def _filter_str(v) -> str:
+    """The ONE to-string convention for partition-filter values: the
+    Hive directory encoding Spark itself writes (bool -> 'true'/
+    'false'), which is also what cast-to-string produces in
+    read_table's row-level backstop. Without it str(True) = 'True'
+    matched nothing in EITHER layer and a bool filter silently
+    returned empty (r7 ADVICE)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _partition_match(file_entry: dict, partition_filter: dict) -> bool:
     """True when the file's partition values satisfy the filter; a
     filter value may be a scalar (equality) or a list/tuple/set
@@ -372,9 +384,9 @@ def _partition_match(file_entry: dict, partition_filter: dict) -> bool:
             continue  # other-spec file: cannot prune on this key
         got = file_entry["partition"][k]
         if isinstance(v, (list, tuple, set, frozenset)):
-            if got not in {str(x) for x in v}:
+            if got not in {_filter_str(x) for x in v}:
                 return False
-        elif got != str(v):
+        elif got != _filter_str(v):
             return False
     return True
 
@@ -1060,9 +1072,9 @@ def read_table(
 
         for k, v in partition_filter.items():
             vals = (
-                [str(x) for x in v]
+                [_filter_str(x) for x in v]
                 if isinstance(v, (list, tuple, set, frozenset))
-                else [str(v)]
+                else [_filter_str(v)]
             )
             df = df.filter(F.col(k).cast("string").isin(vals))
     if stats_filter:
@@ -1411,6 +1423,13 @@ def zorder_frame(
 
     if not cols or n_files < 1:
         raise ValueError("zorder_frame needs columns and n_files >= 1")
+    # interleaved positions must stay below the long sign bit: with
+    # bits=16 and 4+ columns positions reach 63 (sign-flips key order)
+    # and at 5+ columns shiftleft's mod-64 count masking ALIASES
+    # positions — order silently corrupts (r7 ADVICE). Auto-shrink:
+    # fewer bits per column coarsens clustering but keeps it correct.
+    if bits * len(cols) > 63:
+        bits = 63 // len(cols)
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]

@@ -2310,3 +2310,47 @@ class TestZOrder:
         # constant column (span 0): no crash, rows preserved
         out = zorder_frame(df, ["a", "b"], 2)
         assert sorted(r["b"] for r in out.collect()) == [1, 2, 3]
+
+    def test_many_column_bits_autoshrink(self, spark):
+        """bits * k > 63 must not reach the sign bit or alias mod 64
+        (r7 ADVICE): 5 columns at default bits=16 would put positions
+        at 64+; the auto-shrunk key must order identically to an
+        explicitly-safe bits value."""
+        import pandas as pd
+
+        from remediner_spark.sources.table import zorder_frame
+
+        pdf = pd.DataFrame(
+            {c: [(i * (j + 3)) % 17 for i in range(40)]
+             for j, c in enumerate("abcde")}
+        )
+        df = spark.createDataFrame(pdf)
+        cols = list("abcde")
+        auto = zorder_frame(df, cols, n_files=1).collect()
+        explicit = zorder_frame(df, cols, n_files=1, bits=12).collect()
+        assert [tuple(r) for r in auto] == [tuple(r) for r in explicit]
+
+
+class TestBoolPartitionFilter:
+    def test_bool_filter_matches_hive_convention(self, spark, tmp_path):
+        """partition_filter={'flag': True} on a bool-partitioned table
+        (Hive dirs flag=true/flag=false) must return the true rows —
+        str(True)='True' previously matched nothing in both the
+        manifest layer and the row backstop (r7 ADVICE)."""
+        import pandas as pd
+
+        from remediner_spark.sources.table import read_table, write_table
+
+        path = str(tmp_path / "boolpart")
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(10),
+                          "flag": [i % 2 == 0 for i in range(10)]})
+        )
+        write_table(df, path, partition_by=["flag"])
+        got = read_table(spark, path, partition_filter={"flag": True})
+        ids = sorted(r["doc_id"] for r in got.collect())
+        assert ids == [0, 2, 4, 6, 8]
+        got_f = read_table(
+            spark, path, partition_filter={"flag": [False]}
+        )
+        assert sorted(r["doc_id"] for r in got_f.collect()) == [1, 3, 5, 7, 9]
