@@ -1520,6 +1520,75 @@ def rewrite_to_spec(spark: SparkSession, path: str) -> dict:
     )
 
 
+def migrate_legacy_files(spark: SparkSession, path: str) -> dict:
+    """Spec-migration FAST PATH (incremental alternative to
+    ``rewrite_to_spec``'s full overwrite): rewrite ONLY the files
+    written under an earlier partition spec into the current spec,
+    carrying every current-spec file by manifest reference. At 100 TB
+    a spec evolution typically strands a small legacy tail —
+    rewriting just that tail is O(legacy bytes) while the full
+    rewrite is O(table).
+
+    Removal is by EXPLICIT file path (the upsert-CoW convention),
+    never by partition tuple, so a current-spec file sharing a
+    landing partition with migrated rows is untouched — the data-loss
+    class compact_table's cross-spec guard exists to prevent cannot
+    occur here. Pending MoR deletes targeting legacy files are folded
+    into the rewrite (the scan applies them); entries also targeting
+    carried files keep serving those. No-op when the table is already
+    single-spec."""
+    snapshots = _load_snapshots(path)
+    if not snapshots:
+        raise FileNotFoundError(f"no table at {path}")
+    snap = snapshots[-1]
+    partition_by = snap["partition_by"]
+    spec = set(partition_by)
+    snap_files = _snap_files(path, snap)
+    legacy = [
+        f for f in snap_files if set(f["partition"].keys()) != spec
+    ]
+    if not legacy:
+        return snap
+    out = _scan_files(spark, snap, legacy)  # deletes applied here
+    sort_by = snap.get("sort_by") or []
+    if sort_by:
+        out = out.repartitionByRange(
+            max(out.rdd.getNumPartitions(), 1), *sort_by
+        ).sortWithinPartitions(*sort_by)
+    commit_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", f"commit={commit_id}")
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
+    new_files = _collect_file_entries(data_dir, partition_by)
+    _stamp_field_mapping(new_files, snap["schema"], partition_by)
+    refs, files = _next_manifests(
+        path, snap, {f["path"] for f in legacy}, new_files
+    )
+    snapshot = {
+        "snapshot_id": snap["snapshot_id"] + 1,
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "mode": "migrate-spec",
+        "commit": commit_id,
+        "schema": snap["schema"],
+        "last_field_id": snap.get("last_field_id", 0),
+        "partition_by": partition_by,
+        "sort_by": sort_by,
+        "manifest_list": _write_manifest_list(path, refs),
+        "delete_files": _carry_delete_files(
+            snap, {f["path"] for f in files}
+        ),
+        "total_rows": sum(f["rows"] for f in files),
+        "properties": {
+            "migrated_files": len(legacy),
+            "carried_files": len(snap_files) - len(legacy),
+        },
+    }
+    _commit_snapshot(path, snap["snapshot_id"], snapshot)
+    return snapshot
+
+
 def upsert_rows(
     spark: SparkSession,
     path: str,

@@ -2354,3 +2354,75 @@ class TestBoolPartitionFilter:
             spark, path, partition_filter={"flag": [False]}
         )
         assert sorted(r["doc_id"] for r in got_f.collect()) == [1, 3, 5, 7, 9]
+
+
+class TestMigrateLegacyFiles:
+    """migrate_legacy_files: the incremental spec migration — rewrites
+    ONLY other-spec files, carries current-spec files by reference,
+    folds MoR deletes on the migrated tail."""
+
+    def test_migrates_only_legacy_tail(self, spark, tmp_path, pages_pdf):
+        from remediner_spark.sources.table import (
+            evolve_partition_spec, live_files, migrate_legacy_files,
+            read_table, write_table,
+        )
+
+        path = str(tmp_path / "tbl")
+        write_table(spark.createDataFrame(pages_pdf.iloc[:60]), path)
+        evolve_partition_spec(path, ["lang"])
+        write_table(
+            spark.createDataFrame(pages_pdf.iloc[60:]), path,
+            mode="append", partition_by=["lang"],
+        )
+        before = {
+            f["path"]: set(f["partition"])
+            for f in live_files(path)
+        }
+        kept = {p for p, spec in before.items() if spec == {"lang"}}
+        s = migrate_legacy_files(spark, path)
+        assert s["mode"] == "migrate-spec"
+        assert s["properties"]["migrated_files"] == len(before) - len(kept)
+        after = {f["path"]: set(f["partition"]) for f in live_files(path)}
+        # every file now carries the current spec; the current-spec
+        # files were carried BY PATH, not rewritten
+        assert all(spec == {"lang"} for spec in after.values())
+        assert kept <= set(after)
+        # data unchanged, partition filter exact, and idempotent
+        got = read_table(spark, path).toPandas()
+        expect = pages_pdf.sort_values("url").reset_index(drop=True)
+        got = got.sort_values("url").reset_index(drop=True)
+        assert list(got["lang"]) == list(expect["lang"])
+        assert list(got["text"]) == list(expect["text"])
+        en = read_table(spark, path, partition_filter={"lang": "en"})
+        assert en.count() == int((pages_pdf["lang"] == "en").sum())
+        assert migrate_legacy_files(spark, path)["snapshot_id"] == \
+            s["snapshot_id"]  # single-spec now: no-op
+
+    def test_folds_mor_deletes_on_legacy_files(
+        self, spark, tmp_path, pages_pdf
+    ):
+        from pyspark.sql import functions as F
+
+        from remediner_spark.sources.table import (
+            evolve_partition_spec, migrate_legacy_files, read_table,
+            table_snapshots, upsert_rows, write_table,
+        )
+
+        path = str(tmp_path / "tbl")
+        write_table(spark.createDataFrame(pages_pdf.iloc[:60]), path)
+        # MoR upsert against the (legacy, unpartitioned) files
+        upd = spark.createDataFrame(pages_pdf.iloc[:3]).withColumn(
+            "text", F.lit("UPDATED")
+        )
+        upsert_rows(spark, path, upd, ["url"], strategy="mor")
+        evolve_partition_spec(path, ["lang"])
+        s = migrate_legacy_files(spark, path)
+        # the eq-delete targeted only legacy files -> folded away
+        assert (table_snapshots(path)[-1].get("delete_files") or []) == []
+        got = read_table(spark, path).toPandas()
+        assert len(got) == 60
+        assert (got["text"] == "UPDATED").sum() == 3
+        # the MoR update file predates the evolution, so it is ALSO
+        # legacy-spec and migrates along with the base files
+        assert s["properties"]["migrated_files"] >= 2
+        assert s["properties"]["carried_files"] == 0
