@@ -738,6 +738,53 @@ WHERE CASE
   END"""
 
 
+CRAWL_DELAY_S = 5  # per-host politeness spacing
+
+
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch-slot assignment over the polite frontier: within
+    each host, fetches are ordered by backlink priority and spaced
+    CRAWL_DELAY_S apart — the last step before URLs leave the
+    scheduler. The window partitions by HOST over the frontier (tiny
+    relative to the corpus: only uncrawled targets), so per-host state
+    is one ordered pass per partition key; no corpus-sized work."""
+    from pyspark.sql.window import Window
+
+    fr = q_crawl_frontier_polite(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority_fp").desc(), "url"
+    )
+    return (
+        fr.withColumn(
+            "host", F.regexp_extract("url", "https://([^/]+)", 1)
+        )
+        .select(
+            "host",
+            "url",
+            "priority_fp",
+            F.row_number().over(w).cast("long").alias("fetch_rank"),
+        )
+        .withColumn(
+            "fetch_offset_s",
+            (F.col("fetch_rank") - 1) * CRAWL_DELAY_S,
+        )
+    )
+
+
+def sql_crawl_schedule() -> str:
+    return f"""
+SELECT regexp_extract(url, 'https://([^/]+)', 1) AS host, url,
+       priority_fp,
+       CAST(row_number() OVER (
+         PARTITION BY regexp_extract(url, 'https://([^/]+)', 1)
+         ORDER BY priority_fp DESC, url) AS BIGINT) AS fetch_rank,
+       CAST((row_number() OVER (
+         PARTITION BY regexp_extract(url, 'https://([^/]+)', 1)
+         ORDER BY priority_fp DESC, url) - 1) * {CRAWL_DELAY_S}
+         AS BIGINT) AS fetch_offset_s
+FROM ({sql_crawl_frontier_polite()})"""
+
+
 LPA_ITERS = 3
 
 
@@ -919,6 +966,7 @@ QUERIES = {
     "crawl_frontier": q_crawl_frontier,
     "web_host_graph": q_web_host_graph,
     "crawl_frontier_polite": q_crawl_frontier_polite,
+    "crawl_schedule": q_crawl_schedule,
     "web_lpa_communities": q_web_lpa,
     "web_link_predict": q_web_link_predict,
 }
@@ -935,6 +983,7 @@ def oracles() -> dict[str, str]:
         "crawl_frontier": sql_crawl_frontier(),
         "web_host_graph": sql_web_host_graph(),
         "crawl_frontier_polite": sql_crawl_frontier_polite(),
+        "crawl_schedule": sql_crawl_schedule(),
         "web_lpa_communities": sql_web_lpa(),
         "web_link_predict": sql_web_link_predict(),
     }
