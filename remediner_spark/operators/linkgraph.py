@@ -240,6 +240,150 @@ r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
 SELECT node AS url, r AS rank_fp FROM r{PR_ITERS}"""
 
 
+def pagerank_dangling_fixed_point(
+    edges: DataFrame, iters: int = PR_ITERS
+) -> DataFrame:
+    """Full-graph PageRank with DANGLING-mass redistribution: nodes
+    are src ∪ dst, and a node with no outlinks (an asset URL, a
+    PDF, an uncrawled target) donates its rank equally to every node
+    each round — the textbook correction q_web_link_pagerank skips by
+    ranking only crawl-internal sources. Integer fixed-point: the
+    dangling sum D is a 1-row agg broadcast into the update, each
+    node receives D div N (remainder dropped — deterministic,
+    mirrored in SQL), so rounds stay cross-engine exact. Cost per
+    round: the same edge-grain join + groupBy, plus one scalar agg
+    over the sink nodes."""
+    edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()  # plan constant (1 driver scalar)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    sinks = nodes.join(
+        edges.select("src").distinct(),
+        nodes["node"] == F.col("src"),
+        "left_anti",
+    )
+    ranks = nodes.withColumn("r", F.lit(PR_SCALE).cast("long"))
+    for _ in range(iters):
+        dangling = (
+            ranks.join(sinks.select("node"), "node", "left_semi")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("_d"))
+        )
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("r div deg").alias("c"))
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, nodes["node"] == summed["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(PR_BASE)
+                    + F.expr(
+                        f"(85 * (coalesce(s, 0) + _d div {n_nodes}))"
+                        " div 100"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
+def q_web_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank the FULL crawl graph — pages and the asset URLs they link
+    (genuine sinks: no outlinks) — with dangling-mass redistribution."""
+    edges = extract_outlinks(_fixture_pages(spark)).select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
+    )
+    return pagerank_dangling_fixed_point(edges).withColumnRenamed(
+        "node", "url"
+    )
+
+
+def sql_web_pagerank_dangling() -> str:
+    steps = []
+    for i in range(PR_ITERS):
+        steps.append(f"""
+d{i} AS (
+  SELECT coalesce(sum(r), 0) AS d FROM r{i}
+  WHERE NOT EXISTS (SELECT 1 FROM od WHERE od.src = r{i}.node)),
+s{i + 1} AS (
+  SELECT e.dst, sum(r{i}.r // od.deg) AS s
+  FROM edges e
+  JOIN r{i} ON r{i}.node = e.src
+  JOIN od ON od.src = e.src
+  GROUP BY e.dst),
+r{i + 1} AS (
+  SELECT n.node,
+         CAST({PR_BASE} + (85 * (coalesce(s{i + 1}.s, 0)
+                + (SELECT d FROM d{i}) // (SELECT n FROM nn)))
+              // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN s{i + 1} ON s{i + 1}.dst = n.node)""")
+    return f"""
+WITH {_sql_hrefs()},
+edges AS (SELECT src, dst FROM hrefs),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT count(*) AS n FROM nodes),
+od AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
+{",".join(steps)}
+SELECT node AS url, r AS rank_fp FROM r{PR_ITERS}"""
+
+
+BACKLINK_TOPK = 3
+
+
+def q_web_backlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse-link index: for every link target, the top-
+    {BACKLINK_TOPK} referrers by (n_links, src_url) plus the target's
+    total backlink count — the "who links here" artifact search and
+    spam pipelines consume. One edge-grain shuffle (the weighted edge
+    agg) + one window partitioned by target; per-target output is
+    capped so the index stays target-grain, and Spark plans the
+    rank<=k filter as WindowGroupLimit (per-partition top-k heaps,
+    never a global sort)."""
+    from pyspark.sql.window import Window
+
+    lg = link_graph(_fixture_pages(spark))
+    w = Window.partitionBy("dst_url").orderBy(
+        F.col("n_links").desc(), "src_url"
+    )
+    totals = Window.partitionBy("dst_url")
+    return (
+        lg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("total_backlinks", F.sum("n_links").over(totals))
+        .where(F.col("rank") <= BACKLINK_TOPK)
+        .select("dst_url", "rank", F.col("src_url").alias("referrer"),
+                "n_links", "total_backlinks")
+    )
+
+
+def sql_web_backlinks() -> str:
+    return f"""
+WITH {_sql_hrefs()},
+lg AS (
+  SELECT src, dst, count(*) AS n_links FROM hrefs GROUP BY src, dst)
+SELECT dst AS dst_url,
+       CAST(row_number() OVER (
+         PARTITION BY dst ORDER BY n_links DESC, src) AS BIGINT)
+         AS rank,
+       src AS referrer, n_links,
+       CAST(sum(n_links) OVER (PARTITION BY dst) AS BIGINT)
+         AS total_backlinks
+FROM lg
+QUALIFY rank <= {BACKLINK_TOPK}"""
+
+
 def _internal_undirected(pages: DataFrame) -> DataFrame:
     """Distinct undirected internal edge set e(a, b) with a < b (self
     links dropped) — the simple-graph view triangle counting and
@@ -961,6 +1105,8 @@ QUERIES = {
     "web_link_graph_incremental": q_web_link_graph_incremental,
     "web_link_pagerank": q_web_link_pagerank,
     "web_pagerank_weighted": q_web_pagerank_weighted,
+    "web_pagerank_dangling": q_web_pagerank_dangling,
+    "web_backlinks": q_web_backlinks,
     "web_triangles": q_web_triangles,
     "web_hits": q_web_hits,
     "crawl_frontier": q_crawl_frontier,
@@ -978,6 +1124,8 @@ def oracles() -> dict[str, str]:
         "web_link_graph_incremental": sql_web_link_graph(),
         "web_link_pagerank": sql_web_link_pagerank(),
         "web_pagerank_weighted": sql_web_pagerank_weighted(),
+        "web_pagerank_dangling": sql_web_pagerank_dangling(),
+        "web_backlinks": sql_web_backlinks(),
         "web_triangles": sql_web_triangles(),
         "web_hits": sql_web_hits(),
         "crawl_frontier": sql_crawl_frontier(),
