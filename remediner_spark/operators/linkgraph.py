@@ -882,6 +882,37 @@ WHERE CASE
   END"""
 
 
+def q_web_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components of the FULL crawl graph (pages +
+    asset URLs, directions ignored) — the partition a crawl planner
+    uses to find isolated islands and to shard downstream graph jobs.
+    Reuses the O(log n)-round large-star/small-star kernel (the
+    components module's scale path); the DuckDB recursive-CTE
+    min-label fixpoint referees."""
+    from .components import connected_components_star
+
+    edges = extract_outlinks(_fixture_pages(spark)).select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
+    )
+    return connected_components_star(edges, "src", "dst").withColumnRenamed(
+        "vertex", "url"
+    )
+
+
+def sql_web_components() -> str:
+    return f"""
+WITH RECURSIVE {_sql_hrefs()},
+und AS (
+  SELECT src AS a, dst AS b FROM hrefs
+  UNION
+  SELECT dst, src FROM hrefs),
+reach(v, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+  UNION
+  SELECT e.a, reach.r FROM und e JOIN reach ON e.b = reach.v)
+SELECT v AS url, min(r) AS component FROM reach GROUP BY v"""
+
+
 CRAWL_DELAY_S = 5  # per-host politeness spacing
 
 
@@ -1107,6 +1138,7 @@ QUERIES = {
     "web_pagerank_weighted": q_web_pagerank_weighted,
     "web_pagerank_dangling": q_web_pagerank_dangling,
     "web_backlinks": q_web_backlinks,
+    "web_components": q_web_components,
     "web_triangles": q_web_triangles,
     "web_hits": q_web_hits,
     "crawl_frontier": q_crawl_frontier,
@@ -1126,6 +1158,7 @@ def oracles() -> dict[str, str]:
         "web_pagerank_weighted": sql_web_pagerank_weighted(),
         "web_pagerank_dangling": sql_web_pagerank_dangling(),
         "web_backlinks": sql_web_backlinks(),
+        "web_components": sql_web_components(),
         "web_triangles": sql_web_triangles(),
         "web_hits": sql_web_hits(),
         "crawl_frontier": sql_crawl_frontier(),
