@@ -71,15 +71,6 @@ def synth_assigned(spark, k_hot: int):
     )
 
 
-def timed(fn, runs: int = 2) -> float:
-    best = float("inf")
-    for _ in range(runs):
-        t0 = time.time()
-        fn()
-        best = min(best, time.time() - t0)
-    return best
-
-
 def main() -> int:
     from remediner_spark.operators.semdedup import semdedup_over_cells
     from remediner_spark.session import get_spark, release_caches
