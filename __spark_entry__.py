@@ -97,7 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         traindata,
     )
     from remediner_spark.plans import kg_gate
-    from remediner_spark.sources import cdx, robots, warc
+    from remediner_spark.sources import cdx, robots, sitemap, warc
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(warc.QUERIES)
     out.update(robots.QUERIES)
     out.update(cdx.QUERIES)
+    out.update(sitemap.QUERIES)
     out.update(linkgraph.QUERIES)
     out.update(kg_gate.QUERIES)
     # every callable ships the package to executors first (cwd-proof)
@@ -146,7 +147,7 @@ def oracle_sql() -> dict[str, str]:
         traindata,
     )
     from remediner_spark.plans import kg_gate
-    from remediner_spark.sources import cdx, robots, warc
+    from remediner_spark.sources import cdx, robots, sitemap, warc
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
@@ -170,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(warc.ORACLES)
     out.update(robots.ORACLES)
     out.update(cdx.oracles())
+    out.update(sitemap.oracles())
     out.update(linkgraph.oracles())
     # end-to-end KG pipeline over the materialized corpus fixture: the
     # oracle reads the pandas-gold triples parquet and re-derives

@@ -340,6 +340,124 @@ r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
 SELECT node AS url, r AS rank_fp FROM r{PR_ITERS}"""
 
 
+def pagerank_weighted_dangling_fixed_point(
+    edges: DataFrame, iters: int = PR_ITERS
+) -> DataFrame:
+    """edges(src, dst, w), INTEGER weights -> (node, rank_fp): weighted
+    PageRank over the FULL node set (src ∪ dst) with dangling-mass
+    redistribution — the Common-Crawl host-rank artifact (hosts that
+    only ever appear as link targets are genuine sinks whose mass must
+    be recycled, and inter-host multiplicity is enormous so edges must
+    be weight-collapsed, never duplicate rows).
+
+    Integer fixed-point throughout (r * w div ow per edge, the 1-row
+    dangling sum D broadcast and each node credited D div N), so both
+    engines compute bit-identical scores. Per round: one weighted-edge
+    join + groupBy (distinct-edge-grain, the minimum) plus a scalar
+    agg over the sinks."""
+    edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()  # plan constant (1 driver scalar)
+    ow = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    sinks = nodes.join(
+        edges.select("src").distinct(),
+        nodes["node"] == F.col("src"),
+        "left_anti",
+    )
+    ranks = nodes.withColumn("r", F.lit(PR_SCALE).cast("long"))
+    for _ in range(iters):
+        dangling = (
+            ranks.join(sinks.select("node"), "node", "left_semi")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("_d"))
+        )
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(ow, "src")
+            .select(F.col("dst"), F.expr("r * w div ow").alias("c"))
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, nodes["node"] == summed["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(PR_BASE)
+                    + F.expr(
+                        f"(85 * (coalesce(s, 0) + _d div {n_nodes}))"
+                        " div 100"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
+def q_web_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank: the host graph's weight-collapsed edges
+    (self-loops dropped — intra-host navigation is not reputation)
+    ranked with dangling redistribution. Asset hosts appear only as
+    targets, so without the dangling correction their received mass
+    would silently leave the system every round."""
+    links = extract_outlinks(_fixture_pages(spark))
+    we = (
+        links.select(
+            F.regexp_extract("src_url", "https://([^/]+)", 1).alias("src"),
+            F.regexp_extract("dst_url", "https://([^/]+)", 1).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank_weighted_dangling_fixed_point(we).withColumnRenamed(
+        "node", "host"
+    )
+
+
+def sql_web_host_rank() -> str:
+    steps = []
+    for i in range(PR_ITERS):
+        steps.append(f"""
+d{i} AS (
+  SELECT coalesce(sum(r), 0) AS d FROM r{i}
+  WHERE NOT EXISTS (SELECT 1 FROM ow WHERE ow.src = r{i}.node)),
+s{i + 1} AS (
+  SELECT e.dst, sum(r{i}.r * e.w // ow.ow) AS s
+  FROM we e
+  JOIN r{i} ON r{i}.node = e.src
+  JOIN ow ON ow.src = e.src
+  GROUP BY e.dst),
+r{i + 1} AS (
+  SELECT n.node,
+         CAST({PR_BASE} + (85 * (coalesce(s{i + 1}.s, 0)
+                + (SELECT d FROM d{i}) // (SELECT n FROM nn)))
+              // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN s{i + 1} ON s{i + 1}.dst = n.node)""")
+    return f"""
+WITH {_sql_hrefs()},
+hp AS (
+  SELECT regexp_extract(src, 'https://([^/]+)', 1) AS src,
+         regexp_extract(dst, 'https://([^/]+)', 1) AS dst
+  FROM hrefs),
+we AS (
+  SELECT src, dst, count(*) AS w FROM hp
+  WHERE src <> dst GROUP BY src, dst),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM we UNION ALL SELECT dst FROM we)),
+nn AS (SELECT count(*) AS n FROM nodes),
+ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM we GROUP BY src),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
+{",".join(steps)}
+SELECT node AS host, r AS rank_fp FROM r{PR_ITERS}"""
+
+
 BACKLINK_TOPK = 3
 
 
@@ -1137,6 +1255,7 @@ QUERIES = {
     "web_link_pagerank": q_web_link_pagerank,
     "web_pagerank_weighted": q_web_pagerank_weighted,
     "web_pagerank_dangling": q_web_pagerank_dangling,
+    "web_host_rank": q_web_host_rank,
     "web_backlinks": q_web_backlinks,
     "web_components": q_web_components,
     "web_triangles": q_web_triangles,
@@ -1157,6 +1276,7 @@ def oracles() -> dict[str, str]:
         "web_link_pagerank": sql_web_link_pagerank(),
         "web_pagerank_weighted": sql_web_pagerank_weighted(),
         "web_pagerank_dangling": sql_web_pagerank_dangling(),
+        "web_host_rank": sql_web_host_rank(),
         "web_backlinks": sql_web_backlinks(),
         "web_components": sql_web_components(),
         "web_triangles": sql_web_triangles(),

@@ -270,3 +270,69 @@ class TestHotHubOrientation:
         assert uncapped.count() == self.N * (self.N - 1) // 2
         r = uncapped.where("u = 'z_spoke_000' AND v = 'z_spoke_001'").collect()
         assert r[0]["n_common"] == 1 and r[0]["ra_fp"] == LP_SCALE // self.N
+
+
+class TestHostRank:
+    def test_weighted_dangling_semantics(self, spark):
+        """hub links a 3x and b 1x; a and b are sinks. Weighted mass
+        splits 3:1 across the distinct edges; every round the sinks'
+        rank recycles equally to all three nodes (integer div), so the
+        dangling correction is visible as hub rank above the 150k
+        no-inlink floor."""
+        from remediner_spark.operators.components import PR_BASE, PR_SCALE
+        from remediner_spark.operators.linkgraph import (
+            pagerank_weighted_dangling_fixed_point,
+        )
+
+        e = spark.createDataFrame(
+            [("hub", "a", 3), ("hub", "b", 1)], "src string, dst string, w int"
+        )
+        r = {
+            x["node"]: x["rank_fp"]
+            for x in pagerank_weighted_dangling_fixed_point(e).collect()
+        }
+        assert set(r) == {"hub", "a", "b"}
+        # replay one round by hand: d0 = 2*SCALE (both sinks), each node
+        # gets d0 div 3; a additionally gets SCALE*3 div 4, b SCALE div 4
+        d = 2 * PR_SCALE // 3
+        assert r["hub"] >= PR_BASE + 85 * d // 100 > PR_BASE
+        assert r["a"] > r["b"] > r["hub"]
+        # deterministic repeat (integer fixed point)
+        r2 = {
+            x["node"]: x["rank_fp"]
+            for x in pagerank_weighted_dangling_fixed_point(e).collect()
+        }
+        assert r == r2
+
+
+class TestSitemap:
+    def test_roundtrip_counts_and_shard_bound(self, spark):
+        """Every corpus page appears exactly once across the parsed
+        sitemap records; no shard exceeds the protocol cap; lastmod is
+        an ISO date string."""
+        import re as _re
+
+        from remediner_spark.sources.kg_fixture import ensure_kg_fixture
+        from remediner_spark.sources.sitemap import (
+            SITEMAP_SHARD,
+            parse_sitemaps,
+            render_sitemaps,
+        )
+
+        d = ensure_kg_fixture()
+        pages = spark.read.parquet(f"{d}/pages.parquet").select(
+            "url", "warc_ts"
+        )
+        recs = parse_sitemaps(render_sitemaps(pages)).collect()
+        urls = [r["loc"] for r in recs]
+        assert sorted(urls) == sorted(
+            x["url"] for x in pages.select("url").collect()
+        )
+        by_shard: dict[int, int] = {}
+        for r in recs:
+            by_shard[r["shard"]] = by_shard.get(r["shard"], 0) + 1
+        assert max(by_shard.values()) <= SITEMAP_SHARD
+        assert len(by_shard) > 1  # sharding actually happened
+        for r in recs[:5]:
+            assert _re.fullmatch(r"\d{4}-\d{2}-\d{2}", r["lastmod"])
+            assert _re.fullmatch(r"0\.\d", r["priority"])
