@@ -36,6 +36,8 @@ cross-engine hashing is exact by construction.
 
 from __future__ import annotations
 
+from ..sources.scan import scan_parquet
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -43,7 +45,7 @@ BPE_K = 6  # merge rules to learn
 
 
 def _initial_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
     words = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("word")
     )
@@ -189,7 +191,7 @@ def q_bpe_doc_tokens(
     wt = final.select(
         "word", F.size("syms").cast("long").alias("w_tokens")
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
     words = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     )

@@ -19,6 +19,8 @@ result is exactly checkable.
 
 from __future__ import annotations
 
+from ..sources.scan import scan_parquet
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -216,7 +218,7 @@ def q_dedup_keep_canonical(spark, sf_dir: str) -> DataFrame:
     anti-joins against the corpus. Components are cluster-local ids, so
     the keeper join is a shuffle on component id; singletons never
     enter the pair list and are appended map-side."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     comp = q_dedup_components(spark, sf_dir)
     keeper = comp.groupBy("component").agg(
         F.min("doc_id").alias("keep_doc_id")

@@ -26,6 +26,8 @@ join on short keys); simhash is embarrassingly parallel.
 
 from __future__ import annotations
 
+from ..sources.scan import scan_parquet
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -76,6 +78,9 @@ def _shingles_sql(text_col: str) -> str:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plain read, no parallelism floor: the map side is one lower+trim
+    # pass with partial aggregation — cheaper than the repartition
+    # exchange the floor would add (measured 0.34 s vs 0.55 s at sf1.0)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
         docs.groupBy(F.lower(F.trim(F.col("text"))).alias("text_key"))
@@ -95,7 +100,7 @@ FROM documents GROUP BY lower(trim(text))"""
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", _shingles_expr(F.col("text")).alias("sh")
     ).select(
         "doc_id",
@@ -359,7 +364,7 @@ MH_BUCKET_CAP = 2
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", _shingles_expr(F.col("text")).alias("sh")
     )
     return minhash_pairs(docs, bucket_cap=MH_BUCKET_CAP)
@@ -403,7 +408,7 @@ SELECT DISTINCT doc_a, doc_b FROM (
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
     # word hashes materialized once, then ONE fold over the array
     # carrying all 32 bit-counters as the accumulator (zip_with per
     # element). Replaces the r1-r6 form of 32 independent F.aggregate
@@ -497,7 +502,7 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-cosine verify. The plan is a band equi-join (shuffle on short
     (band_idx, band_key) keys) + two id-joins to fetch vectors for the
     verify — never an all-pairs nested loop."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = scan_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
@@ -580,7 +585,7 @@ def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the flag join multiplies nothing (one row per gram on the
     aggregated side). Output is pure integers — exact cross-engine.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", F.split(F.col("text"), " ").alias("ws")
     )
     n = F.size("ws")
@@ -685,7 +690,7 @@ def _paras_expr():
 
 
 def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     base = docs.select(
@@ -788,7 +793,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
       table and text keys are precomputed once and stored (the table
       format's incremental scan feeds only new index files).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id",
         "source",
         md5_hash60_expr(F.lower(F.trim(F.col("text")))).alias("tkey"),

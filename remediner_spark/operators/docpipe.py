@@ -14,6 +14,8 @@ vocabulary, so first-occurrence rank pairing is exactly
 
 from __future__ import annotations
 
+from ..sources.scan import scan_parquet
+
 from typing import Iterator
 
 import pandas as pd
@@ -35,7 +37,7 @@ def q_m1_gazetteer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 (NER stage, deterministic model): per-document mention counts
     via the tagging UDF (ref model surface:
     src/FINALMODEL/final_model.py:20-24)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     tagger = _tagger()
@@ -74,7 +76,7 @@ def q_m6_triples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 (triple assembly): the full M1->M3->M6 kernel chain per doc —
     k-th first-seen drug pairs with k-th first-seen effect (ref pairing
     semantics: src/RE/data_utilities_re.py:24-40)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     tagger = _tagger()
@@ -183,7 +185,7 @@ def q_s2_entity_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     each lexicon surface per document (the reference's nested `indexes`
     struct, /root/reference/ade_corpus_v2/ade_corpus_v2.py:207-214,
     flattened to rows)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
     terms = DOC_DRUGS + DOC_EFFECTS
     offsets = F.array(
         *[

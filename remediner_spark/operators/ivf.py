@@ -27,6 +27,8 @@ recall@k test against brute force (tests/test_ivf.py).
 
 from __future__ import annotations
 
+from ..sources.scan import scan_parquet
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -174,7 +176,7 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k neighbors per query, searching only the query's NPROBE
     nearest k-means cells."""
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = scan_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     centers = ensure_centroids(spark, emb, cache_key=sf_dir)

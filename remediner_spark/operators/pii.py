@@ -25,6 +25,8 @@ the number of masks inserted.
 
 from __future__ import annotations
 
+from ..sources.scan import scan_parquet
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -169,7 +171,7 @@ _SQL_SYNTH_PII = """
 
 
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     pii = docs.select(

@@ -23,6 +23,8 @@ Cross-engine exactness discipline (same as IVF):
 
 from __future__ import annotations
 
+from ..sources.scan import scan_parquet
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -128,7 +130,7 @@ def _code_expr(v_col: Column, books, m: int) -> Column:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    return scan_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
 

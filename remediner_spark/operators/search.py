@@ -30,6 +30,8 @@ unchanged.
 
 from __future__ import annotations
 
+from ..sources.scan import scan_parquet
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -54,7 +56,7 @@ def _postings(docs: DataFrame) -> DataFrame:
 
 
 def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", F.split(F.col("text"), " ").alias("ws")
     )
     stats = docs.agg(

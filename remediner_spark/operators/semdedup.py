@@ -36,6 +36,8 @@ the threshold compare.
 
 from __future__ import annotations
 
+from ..sources.scan import scan_parquet
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,7 +60,7 @@ CELL_CAP = 60
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = scan_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     return semdedup(spark, emb, cell_cap=CELL_CAP, cache_key=sf_dir)

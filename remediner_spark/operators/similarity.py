@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+from ..sources.scan import scan_parquet
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,7 +55,7 @@ def _cosine(a, b):
 
 
 def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = scan_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
@@ -115,7 +117,7 @@ def _signature_sql(v_col: str) -> str:
 
 
 def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = scan_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     return (
@@ -133,7 +135,7 @@ FROM e GROUP BY 1"""
 
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: rank neighbors only within the query's LSH bucket."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = scan_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     sig = emb.withColumn("bucket", _signature_expr(F.col("v")))
@@ -187,7 +189,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     a component landing within 1 ulp of a .5 boundary is the same
     documented residual as the IVF d2 discipline (ivf._round_half_up).
     """
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = scan_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     maxabs = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))

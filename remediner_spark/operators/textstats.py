@@ -15,6 +15,8 @@ outputs (ratios are rounded) so the comparison is exact.
 
 from __future__ import annotations
 
+from ..sources.scan import scan_parquet
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,7 +60,7 @@ def _lang_score_exprs(col):
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
     scores = _lang_score_exprs(F.col("text"))
     langs = list(LANG_MARKERS)
     # first language (dict order) achieving the strictly-highest score;
@@ -90,7 +92,7 @@ def sql_text_langid() -> str:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
     n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(*STOPWORDS)))
@@ -137,7 +139,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     so cross-engine equality is exact by construction — no float
     thresholds anywhere. Map-only; at 100 TB this is a scan-fused
     projection feeding a pushed-down keep filter."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
     # total word chars == non-space chars (single-space join invariant
@@ -194,7 +196,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc bigram count, distinct-bigram count, their ratio (6dp),
     and an integer-compared `repetitive` flag. Map-only expression —
     the n-gram lists live inside one row, never exploded."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
     words = F.split(F.col("text"), " ")
     n = F.size(words)
     grams = F.when(
@@ -238,7 +240,7 @@ FROM m"""
 
 
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
@@ -280,7 +282,7 @@ def md5_hash60_sql(col: str) -> str:
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
     words = F.split(F.col("text"), " ")
     fp = F.aggregate(
         words,
@@ -313,7 +315,7 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     last ulp). Shape at scale: one explode + two hash aggs + a
     broadcastable df join (term vocabulary), then a per-doc top-k
     window."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
     terms = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
@@ -447,7 +449,7 @@ def canonical_url_expr(url):
 
 
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     return docs.select(
         "doc_id",
         _synth_url_expr().alias("url_raw"),
@@ -525,7 +527,7 @@ FROM s"""
 
 
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", F.split(F.col("text"), " ").alias("ws")
     )
     n = F.size("ws")

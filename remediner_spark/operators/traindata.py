@@ -28,6 +28,8 @@ into pretraining batches", Spark-first with exact DuckDB oracles:
 
 from __future__ import annotations
 
+from ..sources.scan import scan_parquet
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -46,7 +48,7 @@ PACK_MAX_BUCKETS = 1 << 16
 
 
 def q_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
     h = md5_hash32_expr(F.concat(F.lit("bern|"), F.col("doc_id").cast("string")))
     return docs.filter(h % SAMPLE_DENOM < SAMPLE_KEEP).select(
         "doc_id", "lang"
@@ -60,7 +62,7 @@ WHERE ({md5_hash32_sql("('bern|' || CAST(doc_id AS VARCHAR))")})
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
     h = md5_hash32_expr(
         F.concat(F.lit("strat|"), F.col("doc_id").cast("string"))
     )
@@ -85,7 +87,7 @@ WHERE sample_rank <= {STRATA_K}"""
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id",
         F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)"))
         .cast("long")
@@ -171,7 +173,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .dedup import _shingles_expr
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", _shingles_expr(F.col("text")).alias("sh")
     )
     is_eval = F.col("doc_id") % EVAL_MOD == 0
@@ -270,7 +272,7 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list) would each recompute the shingle arrays — the ngram-dedup
     # persist pattern applies (bounded, spillable, released by
     # session.cache_scope)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", _shingles_expr(F.col("text")).alias("sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     is_eval = F.col("doc_id") % EVAL_MOD == 0
@@ -355,7 +357,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     against an integer ppm threshold, so the same doc gets the same
     verdict in every run, on every engine, and in any join — no RNG
     state, map-only, reproducible lineage."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
     h = md5_hash32_expr(
         F.concat(F.lit("wsamp|"), F.col("doc_id").cast("string"))
     )
@@ -389,7 +391,7 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     the usual md5-prefix hash of the doc id. At 100 TB: one tiny
     count aggregation, a broadcast join of the group table, and a
     map-side filter."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "lang"
     )
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_grp"))
@@ -450,7 +452,7 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     loader consumes to balance heterogeneous sources. Two tiny aggs +
     a broadcast of the one-row total — nothing corpus-sized shuffles
     beyond the per-source partial agg."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("tok")
     )
     per = docs.groupBy("source").agg(
@@ -497,7 +499,7 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .dedup import _shingles_expr
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         _shingles_expr(F.col("text")).alias("sh")
     )
     return (
@@ -543,7 +545,7 @@ def q_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "text"
     )
 
@@ -611,7 +613,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only (explode over a per-row sequence); the chunk content is
     verified cross-engine via the md5-prefix hash of the joined window
     — the oracle recomputes the same slices in DuckDB."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", F.split(F.col("text"), " ").alias("w")
     )
     n = F.size("w")
@@ -680,7 +682,7 @@ def q_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     words join the (tiny, broadcast) cell table. True counts exist in
     the gate output only to certify the estimates; production keeps
     the sketch alone."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select("text")
     words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
     cells = (
         words.select(
