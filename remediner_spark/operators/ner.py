@@ -175,25 +175,41 @@ def extract_triples_stage(
         # generic per-sentence path.
         bm = getattr(tagger, "batch_matcher", None)
         matcher = bm() if bm is not None else None
+        import numpy as np
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             if extract_html:
                 pdf = pdf.assign(**{text_col: webtext.extract_text(pdf["html"])})
-            sent = _sentences_from_pages(pdf, text_col)
-            if len(sent) == 0:
+            # batch-flat segmentation (one regex scan per batch) and a
+            # doc-index array instead of repeating url/warc_ts object
+            # arrays per sentence: the page columns are gathered only
+            # for rows that produced a pair, at the end
+            flat, doc_of = webtext.split_sentences_flat(pdf[text_col])
+            total = len(flat)
+            if total == 0:
                 continue
-            norm = normalize_series(sent["sentence"])
+            new_run = np.r_[True, doc_of[1:] != doc_of[:-1]]
+            run_start = np.flatnonzero(new_run)
+            sent_idx = np.arange(total) - np.repeat(
+                run_start, np.diff(np.append(run_start, total))
+            )
+            norm = normalize_series(pd.Series(flat, dtype=object))
             if matcher is not None:
                 pairs = matcher.extract_pairs(norm)
             else:
                 pairs = _pairs_per_sentence(norm, tagger)
             r = pairs["row"].to_numpy()
+            d = doc_of[r]
+            warc = (
+                pdf["warc_ts"].to_numpy()[d] if "warc_ts" in pdf else None
+            )
             yield pd.DataFrame(
                 {
-                    "url": sent["url"].to_numpy()[r],
-                    "warc_ts": sent["warc_ts"].to_numpy()[r],
-                    "sent_idx": sent["sent_idx"].to_numpy()[r].astype("int32"),
+                    "url": pdf["url"].to_numpy()[d],
+                    "warc_ts": warc,
+                    "sent_idx": sent_idx[r].astype("int32"),
                     "subj": pairs["subj"].to_numpy(),
                     "pred": "CAUSES",
                     "obj": pairs["obj"].to_numpy(),

@@ -263,6 +263,32 @@ class TestWebtext:
         out = split_sentences(pd.Series(["One two. Three four. fifth sent."]))
         assert out.iloc[0] == ["One two.", "Three four.", "fifth sent."]
 
+    def test_split_sentences_flat_differential(self):
+        # the batch-flat fast path must equal split_sentences + flatten
+        # exactly — including empty rows, None, trailing terminators,
+        # whitespace-leading rows, and the \x01 fallback row
+        from remediner_spark.kernels.webtext import split_sentences_flat
+
+        cases = [
+            "One two. Three four. fifth sent.",
+            "",
+            None,
+            "No terminator here",
+            "Ends with dot. ",
+            "  leading space! And more? yes.",
+            "a.b decimals 2.27 stay. next",
+            "x! y? z.",
+            "double  spaces. between!  sentences",
+        ]
+        for extra in ([], ["with \x01 sentinel. second."]):
+            s = pd.Series(cases + extra)
+            ref = split_sentences(s)
+            flat, doc_of = split_sentences_flat(s)
+            want = [x for lst in ref for x in lst]
+            want_doc = [i for i, lst in enumerate(ref) for _ in lst]
+            assert list(flat) == want
+            assert doc_of.tolist() == want_doc
+
     def test_detect_language(self):
         s = pd.Series(
             [
