@@ -285,7 +285,14 @@ def pagerank_fixed_point(
     """edges(src, dst) -> (node, rank_fp): integer fixed-point
     PageRank after `iters` rounds, damping 0.85, start rank PR_SCALE."""
     edges = edges.localCheckpoint()
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # the node set is a loop constant: checkpoint it once instead of
+    # re-running the distinct from the edge checkpoint in every
+    # round's plan (pre-joining deg into the edge list was also tried:
+    # the extra edge-grain materialization cost more than the cheap
+    # per-round broadcast deg join it replaced)
+    nodes = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.withColumn("r", F.lit(PR_SCALE).cast("long"))
     for _ in range(iters):

@@ -692,14 +692,23 @@ def hits_fixed_point(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
     """edges(src, dst), distinct, self-loop-free -> (node, hub_fp,
     auth_fp) integer fixed-point HITS scores."""
     edges = edges.localCheckpoint()
+    # the node set is a loop constant consumed twice per round (and in
+    # the final join): checkpoint it once — without this the
+    # union+distinct over the full edge list re-executed in every
+    # round's localCheckpoint job
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     hubs = nodes.withColumn("h", F.lit(HITS_SCALE).cast("long"))
 
     def rescale(df: DataFrame, col: str) -> DataFrame:
+        # df MUST be materialized by the caller: the max subquery and
+        # the main projection each scan it, and over a lazy frame that
+        # re-executes the half-round's join+aggregation twice (the
+        # pre-r9 form paid exactly that — measured ~2x the round wall)
         mx = df.agg(F.max(col).alias("_mx"))
         return df.crossJoin(F.broadcast(mx)).select(
             "node",
@@ -714,12 +723,15 @@ def hits_fixed_point(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
             .agg(F.sum("h").alias("a"))
             .select(F.col("dst").alias("node"), "a")
         )
+        # checkpoint the PRE-rescale scores (one evaluation of the
+        # expensive join+agg); the rescale over the checkpoint is a
+        # cheap rescan + map-side divide, fused into the consumer
         auth = rescale(
-            nodes.join(a_raw, "node", "left").select(
-                "node", F.coalesce("a", F.lit(0)).alias("a")
-            ),
+            nodes.join(a_raw, "node", "left")
+            .select("node", F.coalesce("a", F.lit(0)).alias("a"))
+            .localCheckpoint(),
             "a",
-        ).localCheckpoint()
+        )
         h_raw = (
             edges.join(auth, edges["dst"] == auth["node"])
             .groupBy("src")
@@ -727,11 +739,11 @@ def hits_fixed_point(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
             .select(F.col("src").alias("node"), "h")
         )
         hubs = rescale(
-            nodes.join(h_raw, "node", "left").select(
-                "node", F.coalesce("h", F.lit(0)).alias("h")
-            ),
+            nodes.join(h_raw, "node", "left")
+            .select("node", F.coalesce("h", F.lit(0)).alias("h"))
+            .localCheckpoint(),
             "h",
-        ).localCheckpoint()
+        )
     return (
         nodes.join(hubs, "node")
         .join(auth, "node")
