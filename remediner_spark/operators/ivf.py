@@ -147,20 +147,33 @@ _CENTROIDS_MEMO: dict[str, list[list[float]]] = {}
 def ensure_centroids(
     spark: SparkSession, emb: DataFrame, cache_key: str | None = None
 ) -> list[list[float]]:
-    """Fit the seeded NLIST k-means and materialize the centroids to
-    the oracle side file (atomic tmp+rename). The fit is seeded and
-    the input fixed per sf_dir, so every caller (IVF search, SemDeDup)
-    writes identical content — last-writer-wins is a no-op."""
+    """Fit the seeded NLIST k-means; with a ``cache_key`` also
+    materialize the centroids to the oracle side file (atomic
+    tmp+rename), REFRESHING it even on memo hits so a process that
+    alternates between corpora leaves the file matching the most
+    recent keyed fit (r8 ADVICE). ``cache_key=None`` fits (tests,
+    ad-hoc callers) never touch the shared file: the gate's DuckDB
+    oracle reads must stay a pure function of the gate's own inputs,
+    not of whatever else runs on the host — a concurrent pytest fit
+    clobbered the file and false-FAILed ``dedup_semantic`` in the r8
+    judge run."""
+    if cache_key is not None and cache_key in _CENTROIDS_MEMO:
+        centers = _CENTROIDS_MEMO[cache_key]
+        _write_centroids_file(centers)
+        return centers
+    centers = _fit_centroids(spark, emb)
+    if cache_key is not None:
+        _CENTROIDS_MEMO[cache_key] = centers
+        _write_centroids_file(centers)
+    return centers
+
+
+def _write_centroids_file(centers: list[list[float]]) -> None:
     import os
     import tempfile
 
     import pandas as pd
 
-    if cache_key is not None and cache_key in _CENTROIDS_MEMO:
-        return _CENTROIDS_MEMO[cache_key]
-    centers = _fit_centroids(spark, emb)
-    if cache_key is not None:
-        _CENTROIDS_MEMO[cache_key] = centers
     path = centroids_path()
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
@@ -169,7 +182,6 @@ def ensure_centroids(
         {"cell": list(range(len(centers))), "c": centers}
     ).to_parquet(tmp, index=False)
     os.replace(tmp, path)
-    return centers
 
 
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -449,7 +449,10 @@ def canonical_url_expr(url):
 
 
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
+    # plain read, no parallelism floor: a pure projection over doc_id
+    # — the floor's exchange would be the only shuffle in the plan and
+    # costs more than the map work it spreads (0.51 vs 0.66 s sf1.0)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     return docs.select(
         "doc_id",
         _synth_url_expr().alias("url_raw"),

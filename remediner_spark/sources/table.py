@@ -1428,8 +1428,12 @@ def zorder_frame(
     # and at 5+ columns shiftleft's mod-64 count masking ALIASES
     # positions — order silently corrupts (r7 ADVICE). Auto-shrink:
     # fewer bits per column coarsens clustering but keeps it correct.
+    if len(cols) > 63:
+        # 64+ columns would shrink bits to 0 and the interleave key
+        # would degenerate to a constant (no clustering at all)
+        raise ValueError("zorder_frame supports at most 63 columns")
     if bits * len(cols) > 63:
-        bits = 63 // len(cols)
+        bits = max(63 // len(cols), 1)
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .operators.ner import extract_triples_stage
 
@@ -286,7 +287,7 @@ def edge_merge_fn(spark: SparkSession, table_path: str, scope: str,
                 "bucket",
                 F.pmod(F.xxhash64("subj"), F.lit(n_buckets)).cast("int"),
             )
-            .cache()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         try:
             touched = sorted(
@@ -353,7 +354,7 @@ def link_merge_fn(spark: SparkSession, table_path: str, scope: str,
                 "bucket",
                 F.pmod(F.xxhash64("src_url"), F.lit(n_buckets)).cast("int"),
             )
-            .cache()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         try:
             touched = sorted(

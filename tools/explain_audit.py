@@ -57,6 +57,13 @@ def main() -> int:
         "search_bm25",           # broadcast query join + WindowGroupLimit
         "topk_heavy_hitters",    # broadcast candidate semi-join recount
         "web_link_graph",        # JVM-regex href extraction, no Python hop
+        # every rank-filtered window query must plan its rank<=k as
+        # WindowGroupLimit (r8 verdict #1/#7: q_web_backlinks CLAIMED
+        # the pushdown while a second unbounded window blocked it —
+        # this assertion catches the next false claim mechanically)
+        "web_backlinks",
+        "window_topk",
+        "kg_top_effects_per_drug",
     ]
     checks = {
         "r13_word_explode": ["PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"],
@@ -134,6 +141,12 @@ def main() -> int:
         # anywhere, edge agg with map-side partials
         "web_link_graph": ["HashAggregate", "!MapInPandas",
                            "!BatchEvalPython", "!ArrowEvalPython"],
+        # rank-filtered window family: the rank<=k filter must reach
+        # the window as WindowGroupLimit (per-partition top-k heaps) —
+        # a hot partition key must never become one task's full sort
+        "web_backlinks": ["WindowGroupLimit"],
+        "window_topk": ["WindowGroupLimit"],
+        "kg_top_effects_per_drug": ["WindowGroupLimit"],
     }
     failures = []
     for name in audit_set:
