@@ -100,28 +100,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from remediner_spark.sources import cdx, robots, sitemap, warc
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(relational.QUERIES)
-    out.update(pii.QUERIES)
-    out.update(bpe.QUERIES)
-    out.update(components.QUERIES)
-    out.update(ivf.QUERIES)
-    out.update(pq.QUERIES)
-    out.update(docpipe.QUERIES)
-    out.update(textstats.QUERIES)
-    out.update(dedup.QUERIES)
-    out.update(search.QUERIES)
-    out.update(semdedup.QUERIES)
-    out.update(similarity.QUERIES)
-    out.update(multimodal.QUERIES)
-    out.update(traindata.QUERIES)
-    out.update(olap.QUERIES)
+    # Registration order is deliberate (r8 verdict #4): the driver's
+    # correctness gate samples the FIRST 50 dict entries, and through
+    # r8 that slice only ever covered the relational/docpipe/textstats
+    # head — the web-graph, table-format, streaming, multimodal and
+    # olap families had never received a driver-verified row. The
+    # never-sampled families now register first; the previously
+    # verified head moves behind them. The entry SET and each entry's
+    # oracle SQL are unchanged — only dict order rotates.
+    out.update(linkgraph.QUERIES)
+    out.update(kg_gate.QUERIES)
     out.update(tableops.QUERIES)
     out.update(warc.QUERIES)
     out.update(robots.QUERIES)
     out.update(cdx.QUERIES)
     out.update(sitemap.QUERIES)
-    out.update(linkgraph.QUERIES)
-    out.update(kg_gate.QUERIES)
+    out.update(multimodal.QUERIES)
+    out.update(olap.QUERIES)
+    out.update(traindata.QUERIES)
+    out.update(similarity.QUERIES)
+    out.update(semdedup.QUERIES)
+    out.update(search.QUERIES)
+    out.update(dedup.QUERIES)
+    out.update(textstats.QUERIES)
+    out.update(docpipe.QUERIES)
+    out.update(pq.QUERIES)
+    out.update(ivf.QUERIES)
+    out.update(components.QUERIES)
+    out.update(bpe.QUERIES)
+    out.update(pii.QUERIES)
+    out.update(relational.QUERIES)
     # every callable ships the package to executors first (cwd-proof)
     return {name: _wrap(fn) for name, fn in out.items()}
 
@@ -150,31 +158,32 @@ def oracle_sql() -> dict[str, str]:
     from remediner_spark.sources import cdx, robots, sitemap, warc
 
     out: dict[str, str] = {}
-    out.update(relational.ORACLES)
-    out.update(pii.ORACLES)
-    out.update(bpe.ORACLES)
-    out.update(components.ORACLES)
-    # sim_topk_ivf: the search phase over materialized centroids
-    # (k-means training stays Spark-side; operators/ivf.py docstring)
-    out.update(ivf.oracles())
-    out.update(pq.oracles())
-    out.update(docpipe.ORACLES)
-    out.update(textstats.ORACLES)
-    out.update(dedup.ORACLES)
-    out.update(search.ORACLES)
-    out.update(semdedup.oracles())
-    out.update(similarity.ORACLES)
-    out.update(multimodal.ORACLES)
-    out.update(traindata.ORACLES)
-    out.update(olap.ORACLES)
-    out.update(tableops.ORACLES)
-    out.update(warc.ORACLES)
-    out.update(robots.ORACLES)
-    out.update(cdx.oracles())
-    out.update(sitemap.oracles())
+    # mirror queries()'s rotated registration order (r8 verdict #4)
     out.update(linkgraph.oracles())
     # end-to-end KG pipeline over the materialized corpus fixture: the
     # oracle reads the pandas-gold triples parquet and re-derives
     # linking/nodes/edges relationally in DuckDB (plans/kg_gate.py)
     out.update(kg_gate.oracles())
+    out.update(tableops.ORACLES)
+    out.update(warc.ORACLES)
+    out.update(robots.ORACLES)
+    out.update(cdx.oracles())
+    out.update(sitemap.oracles())
+    out.update(multimodal.ORACLES)
+    out.update(olap.ORACLES)
+    out.update(traindata.ORACLES)
+    out.update(similarity.ORACLES)
+    out.update(semdedup.oracles())
+    out.update(search.ORACLES)
+    out.update(dedup.ORACLES)
+    out.update(textstats.ORACLES)
+    out.update(docpipe.ORACLES)
+    out.update(pq.oracles())
+    # sim_topk_ivf: the search phase over materialized centroids
+    # (k-means training stays Spark-side; operators/ivf.py docstring)
+    out.update(ivf.oracles())
+    out.update(components.ORACLES)
+    out.update(bpe.ORACLES)
+    out.update(pii.ORACLES)
+    out.update(relational.ORACLES)
     return out

@@ -604,6 +604,11 @@ def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
+    # (r9 note: pre-aggregating the exploded stream to (g, doc_id, k)
+    # grain before the flag join was tried — 3.5 vs 3.1 s at sf1.0.
+    # K-grams are nearly unique within a doc here, so the pre-agg
+    # shuffles the same row count and just adds a pass; kept the
+    # direct form.)
     n_docs_per_gram = (
         grams.dropDuplicates(["g", "doc_id"])
         .groupBy("g")

@@ -188,10 +188,16 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k neighbors per query, searching only the query's NPROBE
     nearest k-means cells."""
 
+    # fit on the pristine scan (the seeded k-means init is
+    # partitioning/order-sensitive — centroids must stay bit-identical
+    # across rounds); assignment + search take the parallelism floor
+    emb_fit = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    centers = ensure_centroids(spark, emb_fit, cache_key=sf_dir)
     emb = scan_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    centers = ensure_centroids(spark, emb, cache_key=sf_dir)
     assigned = emb.withColumn(
         "cell", F.array_min(_d2_cell_structs(F.col("v"), centers))["cell"]
     ).cache()

@@ -129,8 +129,20 @@ def _code_expr(v_col: Column, books, m: int) -> Column:
     return F.array_min(F.array(*structs))["code"].cast("long")
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return scan_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
+def _emb(
+    spark: SparkSession, sf_dir: str, floor: bool = False
+) -> DataFrame:
+    """Embeddings frame. ``floor=False`` (default) keeps the raw scan
+    layout — REQUIRED for the k-means FIT inputs: the seeded fit's
+    init sampling is partitioning/order-sensitive, so the fit must
+    always see the pristine scan (bench.py's fit legs call
+    ``_emb(spark, sf_dir)`` and stay bit-identical across rounds).
+    ``floor=True`` applies the scan-parallelism floor (sources/scan.py)
+    for the heavy map-side consumers (encode, assignment, search)."""
+    reader = scan_parquet if floor else (
+        lambda sp, p: sp.read.parquet(p)
+    )
+    return reader(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
 
@@ -140,9 +152,9 @@ def q_embed_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (256 bytes -> 4 bytes here). Map-only against broadcast codebook
     literals — the 100 TB shape: the fitted codebooks are tiny and
     ride the closure; no shuffle anywhere."""
-    emb = _emb(spark, sf_dir)
-    books = _fit_codebooks(spark, emb, cache_key=sf_dir)
+    books = _fit_codebooks(spark, _emb(spark, sf_dir), cache_key=sf_dir)
     _materialize_codebooks(books)
+    emb = _emb(spark, sf_dir, floor=True)
     return emb.select(
         "vec_id",
         *[
@@ -189,9 +201,13 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-verify composition every PQ deployment runs (and the same
     shape as the banded-LSH + exact-cosine dedup verify). At 100 TB
     the full-vector reads drop from N to queries x SHORTLIST."""
-    emb = _emb(spark, sf_dir)
-    books = _fit_codebooks(spark, emb, cache_key=sf_dir)
+    # fit on the pristine scan (partitioning/order-sensitive init);
+    # the query-vector collect is a 5-row pushdown read, also plain.
+    # The heavy encode pass and the rerank vector fetch take the
+    # scan-parallelism floor.
+    books = _fit_codebooks(spark, _emb(spark, sf_dir), cache_key=sf_dir)
     _materialize_codebooks(books)
+    emb = _emb(spark, sf_dir, floor=True)
     coded = emb.select(
         "vec_id",
         *[
@@ -200,7 +216,7 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     per_query = []
-    for qid, qv in _query_vectors(emb):
+    for qid, qv in _query_vectors(_emb(spark, sf_dir)):
         pd_t = _partial_table(books, qv)
         dist = None
         for m in range(M_SUB):

@@ -63,12 +63,21 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = scan_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    return semdedup(spark, emb, cell_cap=CELL_CAP, cache_key=sf_dir)
+    # the fit sees the pristine scan (seeded k-means init is
+    # partitioning/order-sensitive); assignment runs over the floored
+    # frame
+    fit_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    return semdedup(
+        spark, emb, cell_cap=CELL_CAP, cache_key=sf_dir, fit_emb=fit_emb
+    )
 
 
 def semdedup(
     spark: SparkSession, emb: DataFrame,
     cell_cap: int | None = CELL_CAP, cache_key: str | None = None,
+    fit_emb: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup verdict over ``emb(vec_id, v)``; ``cell_cap`` is the
     100 TB hot-cell guard (None = exact all-pairs in every cell —
@@ -76,7 +85,9 @@ def semdedup(
     ``cache_key`` memoizes the seeded quantizer fit per process (the
     pq._fit_codebooks contract) so bench legs time the dedup path,
     not the training job."""
-    centers = ensure_centroids(spark, emb, cache_key=cache_key)
+    centers = ensure_centroids(
+        spark, emb if fit_emb is None else fit_emb, cache_key=cache_key
+    )
     assigned = emb.withColumn(
         "cell",
         F.array_min(_d2_cell_structs(F.col("v"), centers))["cell"]

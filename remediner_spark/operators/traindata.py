@@ -47,8 +47,13 @@ PACK_BUDGET = 512  # tokens per packed sequence
 PACK_MAX_BUCKETS = 1 << 16
 
 
+# The hash-coin samplers / mixture / heavy-hitters below keep the
+# PLAIN read (no scan-parallelism floor): one md5 per row is lighter
+# than the floor's exchange at every measured sf (A/B, min-of-2 —
+# e.g. sample_bernoulli sf1.0 0.153 s plain vs 0.366 s floored;
+# topk_heavy_hitters tie at sf1.0, 0.63 vs 1.07 s at sf0.1).
 def q_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     h = md5_hash32_expr(F.concat(F.lit("bern|"), F.col("doc_id").cast("string")))
     return docs.filter(h % SAMPLE_DENOM < SAMPLE_KEEP).select(
         "doc_id", "lang"
@@ -62,7 +67,7 @@ WHERE ({md5_hash32_sql("('bern|' || CAST(doc_id AS VARCHAR))")})
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     h = md5_hash32_expr(
         F.concat(F.lit("strat|"), F.col("doc_id").cast("string"))
     )
@@ -357,7 +362,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     against an integer ppm threshold, so the same doc gets the same
     verdict in every run, on every engine, and in any join — no RNG
     state, map-only, reproducible lineage."""
-    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     h = md5_hash32_expr(
         F.concat(F.lit("wsamp|"), F.col("doc_id").cast("string"))
     )
@@ -391,7 +396,7 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     the usual md5-prefix hash of the doc id. At 100 TB: one tiny
     count aggregation, a broadcast join of the group table, and a
     map-side filter."""
-    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "lang"
     )
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_grp"))
@@ -452,7 +457,7 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     loader consumes to balance heterogeneous sources. Two tiny aggs +
     a broadcast of the one-row total — nothing corpus-sized shuffles
     beyond the per-source partial agg."""
-    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("tok")
     )
     per = docs.groupBy("source").agg(
@@ -545,7 +550,7 @@ def q_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "text"
     )
 

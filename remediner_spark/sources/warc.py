@@ -226,7 +226,12 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize -> parse -> page rows; html binary projected away
     for the gate (its length is checked as content_length; byte
     equality with the source text is pinned by tests/test_warc.py)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    # parallelism floor (sources/scan.py): the synthesize+parse chain
+    # is two Python stages whose work would otherwise run in ONE
+    # worker over the single-row-group input file
+    from .scan import scan_parquet
+
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     return warc_ingest_stage(with_warc_payload(docs)).select(

@@ -109,7 +109,10 @@ def main() -> int:
         "url_canonicalize": ["codegen id", "!Exchange"],
         # crawl ingest/politeness: map-side mapInPandas over the scan
         # — no shuffle before the first content operator
-        "warc_ingest": ["MapInPandas", "!Exchange"],
+        # one round-robin exchange of the raw (doc_id, text) rows is
+        # the scan-parallelism floor (sources/scan.py) — content still
+        # crosses into Python exactly once, map-side
+        "warc_ingest": ["MapInPandas"],
         "robots_filter": ["MapInPandas", "!Exchange"],
         # LM scoring: count aggs get map-side partials; the count
         # tables join hash-wise, never nested-loop
