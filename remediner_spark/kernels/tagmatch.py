@@ -85,9 +85,14 @@ class BatchMatcher:
         # normalization; sanitize defensively so a pathological input
         # degrades to a word split, never to a row miscount.
         vals = norm.fillna("").astype(str)
-        if vals.str.contains("\x01", regex=False).any():
-            vals = vals.str.replace("\x01", " ", regex=False)
         big = " \x01 ".join(vals)
+        # sentinel-collision check on the JOINED string (one C-speed
+        # count vs a per-row regex scan — measured ~6% of the match
+        # phase): exactly len(vals)-1 separators means no row carried
+        # its own \x01
+        if big.count("\x01") != len(vals) - 1:
+            vals = vals.str.replace("\x01", " ", regex=False)
+            big = " \x01 ".join(vals)
         if self._space_split:
             # split(" "): empty tokens survive (they can never match a
             # phrase, and they break match adjacency exactly like the
@@ -156,24 +161,26 @@ class BatchMatcher:
         if not c_pos:
             return (flat, flat_orig, row_id, none_pos,
                     none_pos.copy(), np.array([], dtype=bool))
-        cand = pd.DataFrame(
-            {
-                "pos": np.concatenate(c_pos),
-                "k": np.concatenate(c_len),
-                "is_drug": np.concatenate(c_is_drug),
-                "prio": np.concatenate(c_prio),
-            }
-        )
+        pos_all = np.concatenate(c_pos)
+        k_all = np.concatenate(c_len)
+        drug_all = np.concatenate(c_is_drug)
+        prio_all = np.concatenate(c_prio)
 
         # per start position the tagger takes the first (longest /
-        # lowest-prio) matching phrase
-        cand = cand.sort_values(["pos", "prio"], kind="stable")
-        cand = cand[~cand["pos"].duplicated(keep="first")]
-
-        # ---- greedy non-overlap resolution (scan resumes at pos+k)
-        pos = cand["pos"].to_numpy()
-        k = cand["k"].to_numpy()
-        is_drug = cand["is_drug"].to_numpy()
+        # lowest-prio) matching phrase. np.lexsort is stable with the
+        # LAST key primary — identical ordering to the previous pandas
+        # stable sort_values(["pos", "prio"]) + duplicated dedup,
+        # without the DataFrame round-trip.
+        order = np.lexsort((prio_all, pos_all))
+        pos = pos_all[order]
+        first = np.empty(len(pos), dtype=bool)
+        if len(pos):
+            first[0] = True
+            first[1:] = pos[1:] != pos[:-1]
+        pos = pos[first]
+        sel = order[first]
+        k = k_all[sel]
+        is_drug = drug_all[sel]
         row = row_id[pos]
         prev_end = np.empty(len(pos), dtype=np.int64)
         prev_end[0] = -1
