@@ -92,7 +92,10 @@ WHERE sample_rank <= {STRATA_K}"""
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
+    docs = spark.read.parquet(  # plain read: the floor's exchange loses
+        # at sf0.1 (1.35 vs 0.82 s) and ties at sf1.0 (A/B min-of-3) —
+        # the wall is the window/prefix machinery, not the token count
+        f"{sf_dir}/documents.parquet").select(
         "doc_id",
         F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)"))
         .cast("long")
