@@ -45,7 +45,10 @@ BPE_K = 6  # merge rules to learn
 
 
 def _initial_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
+    # plain read: the train loop is vocabulary-grain (the corpus scan
+    # aggregates straight to distinct words), and the floor's exchange
+    # measured 2.06 vs 1.95 s at sf1.0 — not worth it here
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     words = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("word")
     )
